@@ -1,0 +1,60 @@
+"""CLI shell: ``python -m nerf_meets_mlx_tpu <command> [args]``.
+
+Counterpart of /root/reference/mlx_nerf/__main__.py:13-19 (which hardcodes
+one tyro entrypoint and needs a source edit to switch). Plain argparse —
+no extra deps on a TPU host.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="nerf_meets_mlx_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    from nerf_meets_mlx_tpu.config import PRESETS
+
+    t = sub.add_parser("train", help="train a NeRF (volume learning)")
+    t.add_argument("--preset", default="lego_hierarchical", choices=sorted(PRESETS))
+    t.add_argument("--data-dir", default=None, help="Blender scene dir; omit for the procedural synthetic scene")
+    t.add_argument("--config-txt", default=None, help="reference-format key = value config overlay")
+    t.add_argument("--max-iters", type=int, default=None)
+    t.add_argument("--log-dir", default=None)
+    t.add_argument("--no-resume", action="store_true")
+    t.add_argument("--no-video", action="store_true")
+
+    i = sub.add_parser("image", help="2-D image learning")
+    i.add_argument("--image-path", default=None)
+    i.add_argument("--size", type=int, default=400)
+    i.add_argument("--max-iters", type=int, default=1000)
+    i.add_argument("--log-dir", default=None)
+
+    args = p.parse_args(argv)
+    if args.cmd == "train":
+        from nerf_meets_mlx_tpu.entrypoints import train_nerf
+
+        out = train_nerf(
+            preset=args.preset,
+            data_dir=args.data_dir,
+            config_txt=args.config_txt,
+            max_iters=args.max_iters,
+            log_dir=args.log_dir,
+            resume=not args.no_resume,
+            render_video=not args.no_video,
+        )
+    else:
+        from nerf_meets_mlx_tpu.entrypoints import image_learning
+
+        out = image_learning(
+            image_path=args.image_path,
+            size=args.size,
+            max_iters=args.max_iters,
+            log_dir=args.log_dir,
+        )
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,346 @@
+"""Typed configuration for the framework.
+
+Replaces the reference's argparse flag registry (~40 flags,
+/root/reference/mlx_nerf/config_parser.py:3-80) and its `key = value` text
+config overlay (config_parser.py:82-122) with frozen dataclasses plus named
+presets for the five BASELINE.json configurations.
+
+Reference quirks are explicit, opt-in switches rather than accidents:
+
+* ``frequency_bands``: the reference's volume path uses *squared-linspace*
+  frequency bands (``linspace(0, max)**2``, embedding.py:46-49) instead of the
+  canonical ``2**linspace``.  ``"reference_squared"`` reproduces that exactly;
+  ``"canonical"`` is the NeRF-paper behavior.
+* ``compositing``: ``"reference"`` reproduces raw2outputs semantics at
+  render.py:20-96 (no rgb sigmoid, relu only inside the alpha term, raw
+  density in the transmittance cumsum); ``"canonical"`` applies
+  sigmoid(rgb) / relu(density) before compositing (standard NeRF).
+* The reference's `render_kwargs_test = render_kwargs_train` aliasing
+  (models/NeRF.py:151-156) silently forced perturb=0 / noise=0 during
+  training; here train and eval render settings are separate fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Model / encoding
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class EncodingConfig:
+    """Configuration of one input encoding.
+
+    kind:
+      - "sinusoidal": NeRF positional encoding (encoding/sinusoidal.py:13-66
+        in the reference, plus the legacy Embedder at models/embedding.py).
+      - "identity":   pass-through (encoding/identity.py).
+      - "spherical_harmonics": real SH basis deg 0..4
+        (encoding/spherical_harmonics.py).
+      - "hash_grid":  Instant-NGP multiresolution hash grid
+        (encoding/multi_hash.py — fixed semantics, see encoding/hash_grid.py).
+    """
+
+    kind: str = "sinusoidal"
+    in_dim: int = 3
+    # sinusoidal
+    n_freqs: int = 10
+    min_freq_exp: float = 0.0
+    max_freq_exp: Optional[float] = None  # default: n_freqs - 1
+    include_input: bool = True
+    # "canonical" -> 2**linspace ; "reference_squared" -> linspace**2
+    # (reference volume path: models/embedding.py:46-49)
+    frequency_bands: str = "canonical"
+    # spherical harmonics
+    sh_degree: int = 4
+    # hash grid (Instant-NGP, Table 1 defaults)
+    hash_n_levels: int = 16
+    hash_min_res: int = 16
+    hash_max_res: int = 512
+    hash_features_per_level: int = 2
+    hash_log2_table_size: int = 19
+    hash_init_scale: float = 1e-4
+
+    @property
+    def out_dim(self) -> int:
+        if self.kind == "identity":
+            return self.in_dim
+        if self.kind == "sinusoidal":
+            d = self.in_dim * self.n_freqs * 2
+            if self.include_input:
+                d += self.in_dim
+            return d
+        if self.kind == "spherical_harmonics":
+            return (self.sh_degree + 1) ** 2
+        if self.kind == "hash_grid":
+            return self.hash_n_levels * self.hash_features_per_level
+        raise ValueError(f"unknown encoding kind: {self.kind}")
+
+
+@dataclasses.dataclass(frozen=True)
+class MLPConfig:
+    """NeRF MLP architecture (reference: models/NeRF.py:160-242).
+
+    net_depth/net_width map to --netdepth/--netwidth (config_parser.py:13-16);
+    skip connections concatenate the encoded position after the listed layer
+    indices (reference hardcodes [4], models/NeRF.py:68).
+    """
+
+    net_depth: int = 8
+    net_width: int = 256
+    skips: Tuple[int, ...] = (4,)
+    use_viewdirs: bool = True
+    # output channels when not using viewdirs (image-learning head,
+    # models/NeRF.py:196-197)
+    out_channels: int = 4
+    # parameter/compute dtype for the matmul path ("float32" | "bfloat16")
+    compute_dtype: str = "float32"
+
+
+# ---------------------------------------------------------------------------
+# Rendering
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Volume rendering settings (reference: rendering/render.py)."""
+
+    n_samples: int = 64          # --n_depth_samples
+    n_importance: int = 128      # --N_importance
+    perturb: float = 1.0         # stratified jitter strength (train)
+    raw_noise_std: float = 0.0   # density regularization noise (train)
+    white_bkgd: bool = True
+    lindisp: bool = False
+    ndc: bool = False
+    near: float = 2.0
+    far: float = 6.0
+    # "reference" reproduces render.py:20-96 exactly; "canonical" applies
+    # sigmoid(rgb)/relu(sigma) (standard NeRF compositing).
+    compositing: str = "canonical"
+    # eval-time chunk of rays per lax.map step (reference --chunk=32768)
+    ray_chunk: int = 32768
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization settings (reference: config_parser.py:17-19,
+    entrypoints/__test_nerf.py:302-305)."""
+
+    n_rand: int = 4096           # rays per step (--N_rand)
+    lrate: float = 5e-4
+    lrate_decay: int = 250       # lr = lrate * 0.1**(step / (decay*1000))
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    max_iters: int = 200_000
+    precrop_iters: int = 0
+    precrop_frac: float = 0.5
+    seed: int = 0
+    # logging / io cadences (reference flags config_parser.py:73-77)
+    i_print: int = 100
+    i_weights: int = 10_000
+    i_testset: int = 50_000
+    i_video: int = 50_000
+    log_dir: str = "./logs"
+    exp_name: str = "exp"
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset settings (reference: config_parser.py:51-68,
+    dataset/dataloader.py)."""
+
+    dataset_type: str = "blender"   # blender | synthetic | image
+    data_dir: str = ""
+    half_res: bool = False
+    testskip: int = 8
+    # procedural synthetic scene (for tests/benchmarks without downloads)
+    synth_n_train: int = 20
+    synth_n_val: int = 4
+    synth_n_test: int = 4
+    synth_resolution: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout. Rays are sharded along ``data``; model/hash params
+    are replicated (their grads psum over the mesh). The reference is
+    single-device (mlx_nerf/__main__.py:14) — this is the TPU-native upgrade."""
+
+    data_axis: str = "data"
+    # if 0: use all visible devices
+    n_devices: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    pos_encoding: EncodingConfig = dataclasses.field(
+        default_factory=lambda: EncodingConfig(kind="sinusoidal", in_dim=3, n_freqs=10)
+    )
+    dir_encoding: Optional[EncodingConfig] = dataclasses.field(
+        default_factory=lambda: EncodingConfig(kind="sinusoidal", in_dim=3, n_freqs=4)
+    )
+    mlp: MLPConfig = dataclasses.field(default_factory=MLPConfig)
+    mlp_fine: Optional[MLPConfig] = dataclasses.field(default_factory=MLPConfig)
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+    # route point queries through the fused Pallas encode+MLP kernel
+    # (kernels/fused_mlp.py); requires sinusoidal pos+dir encodings and the
+    # viewdir head. Off-TPU the kernel runs in interpreter mode, so tests
+    # exercise identical code paths.
+    use_fused_kernel: bool = False
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Text-config compatibility (reference `key = value` format,
+# config_parser.py:82-101; e.g. the NeRF-original configs/lego.txt)
+# ---------------------------------------------------------------------------
+
+_TRUTHY = {"true", "1", "yes"}
+
+
+def parse_text_config(path: str | Path) -> dict:
+    """Parse the NeRF-original ``key = value`` config format.
+
+    Unlike the reference (which left every value a string — the stringly-typed
+    bug at config_parser.py:104-122), values are coerced: int, float, bool,
+    then str.
+    """
+    out: dict = {}
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, val = line.partition("=")
+        key, val = key.strip(), val.strip()
+        for cast in (int, float):
+            try:
+                out[key] = cast(val)
+                break
+            except ValueError:
+                continue
+        else:
+            if val.lower() in _TRUTHY or val.lower() in {"false", "no", "0"}:
+                out[key] = val.lower() in _TRUTHY
+            else:
+                out[key] = val
+    return out
+
+
+def config_from_text(path: str | Path, base: Optional[ExperimentConfig] = None) -> ExperimentConfig:
+    """Overlay a reference-format text config (e.g. lego.txt) onto a preset."""
+    kv = parse_text_config(path)
+    cfg = base if base is not None else lego_hierarchical()
+    render = dataclasses.replace(
+        cfg.render,
+        n_samples=int(kv.get("N_samples", cfg.render.n_samples)),
+        n_importance=int(kv.get("N_importance", cfg.render.n_importance)),
+        white_bkgd=bool(kv.get("white_bkgd", cfg.render.white_bkgd)),
+    )
+    train = dataclasses.replace(
+        cfg.train,
+        n_rand=int(kv.get("N_rand", cfg.train.n_rand)),
+        lrate=float(kv.get("lrate", cfg.train.lrate)),
+        lrate_decay=int(kv.get("lrate_decay", cfg.train.lrate_decay)),
+        precrop_iters=int(kv.get("precrop_iters", cfg.train.precrop_iters)),
+        precrop_frac=float(kv.get("precrop_frac", cfg.train.precrop_frac)),
+        exp_name=str(kv.get("expname", cfg.train.exp_name)),
+        log_dir=str(kv.get("basedir", cfg.train.log_dir)),
+    )
+    data = dataclasses.replace(
+        cfg.data,
+        dataset_type=str(kv.get("dataset_type", cfg.data.dataset_type)),
+        data_dir=str(kv.get("datadir", cfg.data.data_dir)),
+        half_res=bool(kv.get("half_res", cfg.data.half_res)),
+        testskip=int(kv.get("testskip", cfg.data.testskip)),
+    )
+    return cfg.replace(render=render, train=train, data=data)
+
+
+# ---------------------------------------------------------------------------
+# Presets — the five BASELINE.json configurations
+# ---------------------------------------------------------------------------
+
+
+def image2d() -> ExperimentConfig:
+    """Config 1: 2-D image learning.
+
+    Matches entrypoints/__viser_image_learning.py:197-227 — 2-D sinusoidal
+    encoding with 10 freqs / max_exp=8 / no include_input (40-D), non-viewdir
+    MLP, Adam(1e-3, betas=(0.9, 0.99))."""
+    return ExperimentConfig(
+        pos_encoding=EncodingConfig(
+            kind="sinusoidal", in_dim=2, n_freqs=10, max_freq_exp=8.0,
+            include_input=False,
+        ),
+        dir_encoding=None,
+        mlp=MLPConfig(use_viewdirs=False, out_channels=3),
+        mlp_fine=None,
+        render=RenderConfig(n_samples=0, n_importance=0),
+        train=TrainConfig(lrate=1e-3, adam_b2=0.99, lrate_decay=0, max_iters=1000),
+        data=DataConfig(dataset_type="image"),
+    )
+
+
+def _nerf_base(**render_kw) -> ExperimentConfig:
+    return ExperimentConfig(
+        pos_encoding=EncodingConfig(kind="sinusoidal", in_dim=3, n_freqs=10),
+        dir_encoding=EncodingConfig(kind="sinusoidal", in_dim=3, n_freqs=4),
+        mlp=MLPConfig(use_viewdirs=True),
+        mlp_fine=MLPConfig(use_viewdirs=True),
+        render=RenderConfig(**render_kw),
+        train=TrainConfig(),
+        data=DataConfig(dataset_type="blender", half_res=True),
+    )
+
+
+def lego_coarse() -> ExperimentConfig:
+    """Config 2: coarse-only NeRF, 400x400 (half-res), 64 samples/ray."""
+    cfg = _nerf_base(n_samples=64, n_importance=0)
+    return cfg.replace(mlp_fine=None)
+
+
+def lego_hierarchical() -> ExperimentConfig:
+    """Config 3: hierarchical coarse+fine, 64+128 samples/ray."""
+    return _nerf_base(n_samples=64, n_importance=128)
+
+
+def lego_full() -> ExperimentConfig:
+    """Config 4: full 800x800, 200k iters with lr decay."""
+    cfg = _nerf_base(n_samples=64, n_importance=128)
+    return cfg.replace(data=dataclasses.replace(cfg.data, half_res=False))
+
+
+def lego_ingp() -> ExperimentConfig:
+    """Config 5: Instant-NGP hash-encoding variant, 5k-iter fast run."""
+    cfg = _nerf_base(n_samples=64, n_importance=128)
+    return cfg.replace(
+        pos_encoding=EncodingConfig(kind="hash_grid", in_dim=3),
+        dir_encoding=EncodingConfig(kind="spherical_harmonics", in_dim=3, sh_degree=4),
+        mlp=MLPConfig(net_depth=2, net_width=64, skips=(), use_viewdirs=True),
+        mlp_fine=MLPConfig(net_depth=2, net_width=64, skips=(), use_viewdirs=True),
+        train=dataclasses.replace(cfg.train, max_iters=5000, lrate=1e-2, adam_b2=0.99),
+    )
+
+
+PRESETS = {
+    "image2d": image2d,
+    "lego_coarse": lego_coarse,
+    "lego_hierarchical": lego_hierarchical,
+    "lego_full": lego_full,
+    "lego_ingp": lego_ingp,
+}

@@ -1,0 +1,52 @@
+"""Train state + optimizer construction.
+
+The reference shares ONE mlx Adam instance across coarse and fine models
+(/root/reference/mlx_nerf/models/NeRF.py:120, __test_nerf.py:128,138) with
+moment state keyed per parameter tree. Here a single optax Adam runs over the
+WHOLE params pytree (coarse + fine + encodings) — per-leaf moments, so the
+semantics match while the state is explicit, checkpointable, and shardable.
+
+The learning-rate schedule reproduces __test_nerf.py:302-305 exactly:
+lr(step) = lrate * 0.1 ** (step / (lrate_decay * 1000)), continuous decay.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax.numpy as jnp
+import optax
+
+from nerf_meets_mlx_tpu.config import TrainConfig
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray          # int32 scalar
+    params: Any
+    opt_state: Any
+
+
+def lr_schedule(cfg: TrainConfig):
+    if cfg.lrate_decay <= 0:
+        return cfg.lrate
+    return optax.exponential_decay(
+        init_value=cfg.lrate,
+        transition_steps=cfg.lrate_decay * 1000,
+        decay_rate=0.1,
+        staircase=False,
+    )
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(lr_schedule(cfg), b1=cfg.adam_b1, b2=cfg.adam_b2)
+
+
+def create_train_state(params: Any, cfg: TrainConfig) -> TrainState:
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+    )

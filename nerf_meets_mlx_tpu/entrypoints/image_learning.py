@@ -1,0 +1,71 @@
+"""2-D image-learning entrypoint.
+
+Counterpart of /root/reference/mlx_nerf/entrypoints/__viser_image_learning.py
+without the viser GUI dependency (headless TPU hosts): trains the MLP to
+reproduce an RGB image, periodically writing predicted frames + a final
+training-progress video. The reference's live viser loop is optional
+(see tools/viewer.py for the interactive path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_meets_mlx_tpu.config import image2d
+from nerf_meets_mlx_tpu.datasets import load_image_2d
+from nerf_meets_mlx_tpu.datasets.image import pixel_dataset
+from nerf_meets_mlx_tpu.engine import Trainer, make_image_train_step
+from nerf_meets_mlx_tpu.models import create_nerf
+from nerf_meets_mlx_tpu.ops import psnr as psnr_fn
+from nerf_meets_mlx_tpu.utils.video import to8b, write_video
+
+
+def image_learning(
+    image_path: Optional[str] = None,
+    size: int = 400,
+    max_iters: int = 1000,
+    log_dir: Optional[str] = None,
+    frame_every: int = 50,
+) -> dict:
+    """Overfit an MLP to one image; returns final PSNR."""
+    cfg = image2d()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, max_iters=max_iters))
+    img = load_image_2d(image_path, size)
+    H, W = img.shape[:2]
+    coords, colors = pixel_dataset(img)
+    coords = jax.device_put(jnp.asarray(coords))
+    colors = jax.device_put(jnp.asarray(colors))
+
+    model = create_nerf(cfg)
+    trainer = Trainer(
+        cfg, model, make_image_train_step(model), (coords, colors), log_dir=log_dir
+    )
+
+    @jax.jit
+    def predict(params):
+        pred = model.query(params, "coarse", coords[:, None, :], None)[:, 0, :]
+        return pred.reshape(H, W, 3)
+
+    frames = []
+    while trainer.step < max_iters:
+        trainer.run(min(frame_every, max_iters - trainer.step))
+        frames.append(to8b(predict(trainer.state.params)))
+
+    pred = predict(trainer.state.params)
+    final_psnr = float(psnr_fn(pred, jnp.asarray(img)))
+    trainer.logger.log(step=trainer.step, final_psnr=final_psnr)
+    out_dir = Path(trainer.log_dir)
+    try:
+        import imageio.v2 as imageio
+
+        imageio.imwrite(out_dir / "final.png", to8b(pred))
+    except Exception:
+        pass
+    write_video(out_dir / "progress.mp4", frames, fps=10)
+    return {"final_psnr": final_psnr, "steps": trainer.step}

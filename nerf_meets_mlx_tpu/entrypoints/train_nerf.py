@@ -1,0 +1,106 @@
+"""NeRF volume-learning entrypoint.
+
+Counterpart of /root/reference/mlx_nerf/entrypoints/__test_nerf.py:25-341,
+rebuilt on the engine: fused train step, checkpoint/resume, JSONL metrics,
+periodic test-pose renders, and the final orbit video.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_meets_mlx_tpu.config import ExperimentConfig, PRESETS, config_from_text
+from nerf_meets_mlx_tpu.datasets import load_blender_data, make_synthetic_scene
+from nerf_meets_mlx_tpu.engine import Trainer, make_nerf_train_step
+from nerf_meets_mlx_tpu.models import create_nerf
+from nerf_meets_mlx_tpu.ops import psnr as psnr_fn
+from nerf_meets_mlx_tpu.rendering import render_image, render_orbit
+from nerf_meets_mlx_tpu.utils.video import to8b, write_video
+
+
+def _load_dataset(cfg: ExperimentConfig):
+    d = cfg.data
+    if d.dataset_type == "blender":
+        return load_blender_data(
+            d.data_dir, half_res=d.half_res, testskip=d.testskip,
+            white_bkgd=cfg.render.white_bkgd,
+        )
+    if d.dataset_type == "synthetic":
+        return make_synthetic_scene(
+            d.synth_n_train, d.synth_n_val, d.synth_n_test, d.synth_resolution,
+            white_bkgd=cfg.render.white_bkgd,
+        )
+    raise ValueError(f"unknown dataset_type for volume training: {d.dataset_type}")
+
+
+def train_nerf(
+    preset: str = "lego_hierarchical",
+    data_dir: Optional[str] = None,
+    config_txt: Optional[str] = None,
+    max_iters: Optional[int] = None,
+    log_dir: Optional[str] = None,
+    resume: bool = True,
+    render_video: bool = True,
+) -> dict:
+    """Train a NeRF; returns final metrics incl. held-out test PSNR."""
+    cfg = PRESETS[preset]()
+    if config_txt:
+        cfg = config_from_text(config_txt, cfg)
+    if data_dir:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, data_dir=data_dir))
+    elif not cfg.data.data_dir:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, dataset_type="synthetic"))
+    if max_iters:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, max_iters=max_iters))
+
+    ds = _load_dataset(cfg)
+    model = create_nerf(cfg)
+    images = jax.device_put(jnp.asarray(ds.images[ds.i_train]))
+    poses = jax.device_put(jnp.asarray(ds.poses[ds.i_train, :3, :4]))
+
+    step_fn = make_nerf_train_step(model, ds.H, ds.W, ds.focal)
+    trainer = Trainer(cfg, model, step_fn, (images, poses), log_dir=log_dir)
+    if resume:
+        trainer.restore()
+
+    out_dir = trainer.log_dir
+    tcfg = cfg.train
+    while trainer.step < tcfg.max_iters:
+        n = min(tcfg.i_testset or tcfg.max_iters, tcfg.max_iters - trainer.step)
+        metrics = trainer.run(n)
+        # periodic held-out render (reference: every 50k, __test_nerf.py:308-322)
+        test_i = int(ds.i_test[len(ds.i_test) // 2])
+        out = render_image(
+            model, trainer.state.params, ds.H, ds.W, ds.K, ds.poses[test_i, :3, :4]
+        )
+        test_psnr = float(psnr_fn(out["rgb_map"], jnp.asarray(ds.images[test_i])))
+        trainer.logger.log(step=trainer.step, test_psnr=test_psnr)
+        try:
+            import imageio.v2 as imageio
+
+            imageio.imwrite(out_dir / f"render_{trainer.step:08d}.png", to8b(out["rgb_map"]))
+        except Exception:
+            pass
+
+    trainer.save()
+
+    # final test-set PSNR
+    psnrs = []
+    for i in ds.i_test:
+        out = render_image(model, trainer.state.params, ds.H, ds.W, ds.K, ds.poses[i, :3, :4])
+        psnrs.append(float(psnr_fn(out["rgb_map"], jnp.asarray(ds.images[i]))))
+    result = {**metrics, "test_psnr_mean": float(np.mean(psnrs))}
+    trainer.logger.log(step=trainer.step, **{"test_psnr_mean": result["test_psnr_mean"]})
+
+    if render_video:
+        frames = render_orbit(
+            model, trainer.state.params, ds.H, ds.W, ds.K, ds.render_poses
+        )
+        write_video(out_dir / f"orbit_{trainer.step}.mp4", frames, fps=30)
+    return result

@@ -1,0 +1,505 @@
+"""Fused sinusoidal-encode + NeRF-MLP Pallas TPU kernel.
+
+This is the framework's hot op: per train step the reference evaluates the
+8x256 MLP on B*S = 4096*64 (coarse) and 4096*192 (fine) points
+(/root/reference/mlx_nerf/entrypoints/__test_nerf.py hot loop; run_model at
+models/NeRF.py:25-48). Run as separate XLA ops, every layer's [N, 256]
+activation round-trips HBM (~0.8 GB/layer at the fine batch) — the op is
+bandwidth-bound, not FLOPs-bound. This kernel keeps the whole chain in VMEM.
+
+Design:
+
+* The sinusoidal encoding is reformulated as a matmul: with a band matrix M
+  (M[axis, axis*F + j] = band_j) and a phase vector phi (0 for the sin block,
+  pi/2 for the cos block), enc(x) = sin(x @ M + phi) — so encode + all MLP
+  layers + both heads become ONE GEMM chain with elementwise sin/relu between,
+  which is exactly what the MXU wants. The `include_input` raw-input taps and
+  the skip-concat become additional side matmuls (a concat [a, b] @ W is
+  a @ W_top + b @ W_bottom).
+* Grid over point-blocks; all (padded) weights use constant index_maps so
+  Mosaic keeps them resident in VMEM across the whole grid.
+* Custom VJP: the backward kernel recomputes the forward per block
+  (flash-style, no stashed activations in HBM) and accumulates dW/db into
+  grid-invariant output blocks (zero-init on the first grid step).
+* bfloat16 compute with float32 accumulation (preferred_element_type) when
+  spec.compute_dtype == "bfloat16"; sin/relu masks stay f32.
+
+`fused_apply_reference` is the pure-jnp twin (same packed params, same math)
+used for CPU fallback and parity tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_meets_mlx_tpu.config import EncodingConfig, MLPConfig
+
+LANE = 128
+
+
+def _ru(x: int, m: int = LANE) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Static spec
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedMLPSpec:
+    """Static description of the fused op (hashable -> jit static arg)."""
+
+    depth: int
+    width: int
+    skips: Tuple[int, ...]
+    # pos encoding
+    pos_freqs: int
+    pos_min_exp: float
+    pos_max_exp: float
+    pos_include_input: bool
+    pos_band_mode: str
+    # dir encoding
+    dir_freqs: int
+    dir_min_exp: float
+    dir_max_exp: float
+    dir_include_input: bool
+    dir_band_mode: str
+    compute_dtype: str = "float32"
+    block: int = 1024
+
+    @staticmethod
+    def from_configs(
+        mlp: MLPConfig, pos: EncodingConfig, dir_: EncodingConfig, block: int = 1024
+    ) -> "FusedMLPSpec":
+        assert mlp.use_viewdirs, "fused kernel covers the viewdir NeRF head"
+        assert pos.kind == "sinusoidal" and dir_.kind == "sinusoidal"
+        return FusedMLPSpec(
+            depth=mlp.net_depth,
+            width=mlp.net_width,
+            skips=tuple(mlp.skips),
+            pos_freqs=pos.n_freqs,
+            pos_min_exp=pos.min_freq_exp,
+            pos_max_exp=(
+                pos.max_freq_exp if pos.max_freq_exp is not None else float(pos.n_freqs - 1)
+            ),
+            pos_include_input=pos.include_input,
+            pos_band_mode=pos.frequency_bands,
+            dir_freqs=dir_.n_freqs,
+            dir_min_exp=dir_.min_freq_exp,
+            dir_max_exp=(
+                dir_.max_freq_exp if dir_.max_freq_exp is not None else float(dir_.n_freqs - 1)
+            ),
+            dir_include_input=dir_.include_input,
+            dir_band_mode=dir_.frequency_bands,
+            compute_dtype=mlp.compute_dtype,
+            block=block,
+        )
+
+    # encoded widths (unpadded)
+    @property
+    def pos_sc(self) -> int:  # sin+cos feature count
+        return 2 * 3 * self.pos_freqs
+
+    @property
+    def dir_sc(self) -> int:
+        return 2 * 3 * self.dir_freqs
+
+    @property
+    def psc_pad(self) -> int:
+        return _ru(self.pos_sc)
+
+    @property
+    def dsc_pad(self) -> int:
+        return _ru(self.dir_sc)
+
+    @property
+    def w2(self) -> int:  # dir-head hidden width
+        return self.width // 2
+
+
+def _bands(n: int, lo: float, hi: float, mode: str) -> np.ndarray:
+    lin = np.linspace(lo, hi, n, dtype=np.float32)
+    return lin**2 if mode == "reference_squared" else 2.0**lin
+
+
+def _band_matrix(n_freqs, lo, hi, mode, pad, axis_offset) -> Tuple[np.ndarray, np.ndarray]:
+    """M [8, pad] and phi [1, pad] with the sinusoidal_encode layout:
+    cols [axis*F + j] = sin terms, cols [3F + axis*F + j] = cos terms."""
+    b = _bands(n_freqs, lo, hi, mode)
+    M = np.zeros((8, pad), np.float32)
+    phi = np.zeros((1, pad), np.float32)
+    F = n_freqs
+    for axis in range(3):
+        for j in range(F):
+            M[axis_offset + axis, axis * F + j] = b[j]
+            M[axis_offset + axis, 3 * F + axis * F + j] = b[j]
+    phi[0, 3 * F : 6 * F] = np.pi / 2
+    # padded tail: sin(0 + pi/2) = 1 would pollute; keep phase 0 -> sin(0)=0
+    return M, phi
+
+
+# ---------------------------------------------------------------------------
+# Packing: standard param pytree -> kernel layout
+# ---------------------------------------------------------------------------
+
+
+def pack_inputs(pts: jnp.ndarray, viewdirs: jnp.ndarray) -> jnp.ndarray:
+    """pts [..., 3] + viewdirs [..., 3] (broadcast over samples) -> X [N, 8]."""
+    lead = pts.shape[:-1]
+    dirs = jnp.broadcast_to(viewdirs[..., None, :], lead + (3,)) if viewdirs.ndim < pts.ndim else viewdirs
+    x = jnp.concatenate([pts, dirs], axis=-1).reshape(-1, 6)
+    return jnp.pad(x, ((0, 0), (0, 2)))
+
+
+def pack_params(spec: FusedMLPSpec, params) -> List[jnp.ndarray]:
+    """Slice/pad the standard NeRF-MLP param pytree (models/nerf_mlp.py) into
+    the kernel's GEMM-chain layout. Pure jax ops — autodiff through this
+    packing routes cotangents back to the original pytree."""
+    W, D = spec.width, spec.depth
+    PSC, DSC = spec.psc_pad, spec.dsc_pad
+    n_sc_p, n_sc_d = spec.pos_sc, spec.dir_sc
+
+    Mp, phip = _band_matrix(spec.pos_freqs, spec.pos_min_exp, spec.pos_max_exp, spec.pos_band_mode, PSC, 0)
+    Md, phid = _band_matrix(spec.dir_freqs, spec.dir_min_exp, spec.dir_max_exp, spec.dir_band_mode, DSC, 3)
+
+    out: List[jnp.ndarray] = [jnp.asarray(Mp), jnp.asarray(phip), jnp.asarray(Md), jnp.asarray(phid)]
+
+    def pad_rows(w, rows):
+        return jnp.pad(w, ((0, rows - w.shape[0]), (0, 0)))
+
+    def split_enc_w(w_enc):
+        """[enc_dim, W] -> (A [PSC, W] sin/cos rows, B [8, W] raw-input rows
+        at input positions 0..2)."""
+        A = pad_rows(w_enc[:n_sc_p], PSC)
+        if spec.pos_include_input:
+            B = jnp.zeros((8, w_enc.shape[1]), w_enc.dtype).at[0:3].set(w_enc[n_sc_p : n_sc_p + 3])
+        else:
+            B = jnp.zeros((8, w_enc.shape[1]), w_enc.dtype)
+        return A, B
+
+    # layer 0: input = encoded position
+    p0 = params["pos_linears"][0]
+    A0, B0 = split_enc_w(p0["w"])
+    out += [A0, B0, p0["b"][None, :]]
+
+    for j in range(1, D):
+        pj = params["pos_linears"][j]
+        if (j - 1) in spec.skips:
+            # concat([enc, h]) @ W -> enc part (first rows) + h part
+            w = pj["w"]
+            enc_dim = n_sc_p + (3 if spec.pos_include_input else 0)
+            Aenc, Benc = split_enc_w(w[:enc_dim])
+            Ah = w[enc_dim:]
+            out += [Ah, Aenc, Benc, pj["b"][None, :]]
+        else:
+            out += [pj["w"], pj["b"][None, :]]
+
+    # combined feature+alpha head: [W, W + 128], col W holds alpha
+    wf, bf = params["feature_linear"]["w"], params["feature_linear"]["b"]
+    wa, ba = params["alpha_linear"]["w"], params["alpha_linear"]["b"]
+    Whf = jnp.concatenate([wf, jnp.pad(wa, ((0, 0), (0, LANE - 1)))], axis=1)
+    bhf = jnp.concatenate([bf, jnp.pad(ba, (0, LANE - 1))])[None, :]
+    out += [Whf, bhf]
+
+    # dir layer: concat([feature, enc_dir]) @ Wd
+    wd, bd = params["dir_linear"]["w"], params["dir_linear"]["b"]
+    Wdf = wd[:W]
+    wd_enc = wd[W:]
+    Wds = pad_rows(wd_enc[:n_sc_d], DSC)
+    if spec.dir_include_input:
+        Bd = jnp.zeros((8, wd.shape[1]), wd.dtype).at[3:6].set(wd_enc[n_sc_d : n_sc_d + 3])
+    else:
+        Bd = jnp.zeros((8, wd.shape[1]), wd.dtype)
+    out += [Wdf, Wds, Bd, bd[None, :]]
+
+    # rgb head into 8-wide output (cols 0..2); alpha added to col 3 in-kernel
+    wr, br = params["rgb_linear"]["w"], params["rgb_linear"]["b"]
+    Wr = jnp.pad(wr, ((0, 0), (0, 8 - 3)))
+    br8 = jnp.pad(br, (0, 8 - 3))[None, :]
+    out += [Wr, br8]
+    return out
+
+
+def _n_layer_arrays(spec: FusedMLPSpec) -> int:
+    n = 4 + 3  # bands/phases + layer0 (A0, B0, b0)
+    for j in range(1, spec.depth):
+        n += 4 if (j - 1) in spec.skips else 2
+    n += 2  # Whf, bhf
+    n += 4  # Wdf, Wds, Bd, bd
+    n += 2  # Wr, br
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Shared forward math (used by kernel and jnp twin)
+# ---------------------------------------------------------------------------
+
+
+def _forward_core(spec: FusedMLPSpec, X, ws, want_residuals: bool = False):
+    """The GEMM chain. `ws` is the packed list (already loaded values).
+    Returns out [N, 8] (+ residuals for backward)."""
+    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
+
+    def mm(a, b):
+        return jnp.dot(a.astype(cdt), b.astype(cdt), preferred_element_type=jnp.float32)
+
+    it = iter(ws)
+    Mp, phip, Md, phid = next(it), next(it), next(it), next(it)
+    Sp = jnp.sin(mm(X, Mp) + phip)
+    Sd = jnp.sin(mm(X, Md) + phid)
+
+    A0, B0, b0 = next(it), next(it), next(it)
+    h = jax.nn.relu(mm(Sp, A0) + mm(X, B0) + b0)
+    hs = [h]
+    for j in range(1, spec.depth):
+        if (j - 1) in spec.skips:
+            Ah, Aenc, Benc, bj = next(it), next(it), next(it), next(it)
+            pre = mm(h, Ah) + mm(Sp, Aenc) + mm(X, Benc) + bj
+        else:
+            Aj, bj = next(it), next(it)
+            pre = mm(h, Aj) + bj
+        h = jax.nn.relu(pre)
+        hs.append(h)
+
+    Whf, bhf = next(it), next(it)
+    hf = mm(h, Whf) + bhf                      # [N, W + 128] (no activation)
+    feat = hf[:, : spec.width]
+    alpha = hf[:, spec.width : spec.width + 1]  # [N, 1]
+
+    Wdf, Wds, Bd, bd = next(it), next(it), next(it), next(it)
+    hd = jax.nn.relu(mm(feat, Wdf) + mm(Sd, Wds) + mm(X, Bd) + bd)
+
+    Wr, br = next(it), next(it)
+    alpha_col = alpha * (jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == 3).astype(
+        jnp.float32
+    )
+    out = mm(hd, Wr) + br + alpha_col           # [N, 8]; cols 0-2 rgb, 3 alpha
+    if want_residuals:
+        return out, (Sp, Sd, hs, feat, hd)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(spec: FusedMLPSpec, x_ref, *refs):
+    out_ref = refs[-1]
+    ws = [r[:] for r in refs[:-1]]
+    out_ref[:] = _forward_core(spec, x_ref[:], ws)
+
+
+def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
+    """Recompute forward for this block, then backprop; accumulate dW/db into
+    grid-invariant output blocks and write per-block dX."""
+    n_w = _n_layer_arrays(spec)
+    w_refs = refs[:n_w]
+    dx_ref = refs[n_w]
+    dw_refs = refs[n_w + 1 :]
+    ws = [r[:] for r in w_refs]
+    X = x_ref[:]
+    dout = dout_ref[:]
+
+    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
+
+    def mm(a, b):
+        return jnp.dot(a.astype(cdt), b.astype(cdt), preferred_element_type=jnp.float32)
+
+    out, (Sp, Sd, hs, feat, hd) = _forward_core(spec, X, ws, want_residuals=True)
+    del out
+
+    first = pl.program_id(0) == 0
+
+    grads: List[Optional[jnp.ndarray]] = [None] * n_w
+
+    def acc(idx, val):
+        grads[idx] = val if grads[idx] is None else grads[idx] + val
+
+    # walk the packed list with the same cursor discipline as forward
+    idx = {"i": 4}  # skip Mp, phip, Md, phid (structural constants)
+
+    def take():
+        i = idx["i"]
+        idx["i"] += 1
+        return i
+
+    i_A0, i_B0, i_b0 = take(), take(), take()
+    layer_idx = []
+    for j in range(1, spec.depth):
+        if (j - 1) in spec.skips:
+            layer_idx.append((take(), take(), take(), take()))
+        else:
+            layer_idx.append((take(), take()))
+    i_Whf, i_bhf = take(), take()
+    i_Wdf, i_Wds, i_Bd, i_bd = take(), take(), take(), take()
+    i_Wr, i_br = take(), take()
+
+    # ---- backward ----
+    # out = hd @ Wr + br + alpha_col
+    acc(i_Wr, mm(hd.T, dout))
+    acc(i_br, jnp.sum(dout, axis=0, keepdims=True))
+    dhd = mm(dout, ws[i_Wr].T) * (hd > 0)
+    dalpha = dout[:, 3:4]
+
+    # hd = relu(feat @ Wdf + Sd @ Wds + X @ Bd + bd)
+    acc(i_Wdf, mm(feat.T, dhd))
+    acc(i_Wds, mm(Sd.T, dhd))
+    acc(i_Bd, mm(X.T, dhd))
+    acc(i_bd, jnp.sum(dhd, axis=0, keepdims=True))
+    dfeat = mm(dhd, ws[i_Wdf].T)
+    dSd = mm(dhd, ws[i_Wds].T)
+    dX = mm(dhd, ws[i_Bd].T)
+
+    # hf = h_last @ Whf + bhf ; feat = hf[:, :W], alpha = hf[:, W]
+    dhf = jnp.concatenate(
+        [dfeat, jnp.pad(dalpha, ((0, 0), (0, LANE - 1)))], axis=1
+    )
+    h_last = hs[-1]
+    acc(i_Whf, mm(h_last.T, dhf))
+    acc(i_bhf, jnp.sum(dhf, axis=0, keepdims=True))
+    dh = mm(dhf, ws[i_Whf].T) * (h_last > 0)
+
+    dSp = jnp.zeros_like(Sp)
+    for j in range(spec.depth - 1, 0, -1):
+        ids = layer_idx[j - 1]
+        h_prev = hs[j - 1]
+        if len(ids) == 4:
+            i_Ah, i_Aenc, i_Benc, i_bj = ids
+            acc(i_Ah, mm(h_prev.T, dh))
+            acc(i_Aenc, mm(Sp.T, dh))
+            acc(i_Benc, mm(X.T, dh))
+            acc(i_bj, jnp.sum(dh, axis=0, keepdims=True))
+            dSp = dSp + mm(dh, ws[i_Aenc].T)
+            dX = dX + mm(dh, ws[i_Benc].T)
+            dh = mm(dh, ws[i_Ah].T) * (h_prev > 0)
+        else:
+            i_Aj, i_bj = ids
+            acc(i_Aj, mm(h_prev.T, dh))
+            acc(i_bj, jnp.sum(dh, axis=0, keepdims=True))
+            dh = mm(dh, ws[i_Aj].T) * (h_prev > 0)
+
+    # layer 0: h0 = relu(Sp @ A0 + X @ B0 + b0)
+    acc(i_A0, mm(Sp.T, dh))
+    acc(i_B0, mm(X.T, dh))
+    acc(i_b0, jnp.sum(dh, axis=0, keepdims=True))
+    dSp = dSp + mm(dh, ws[i_A0].T)
+    dX = dX + mm(dh, ws[i_B0].T)
+
+    # through the encodings: Sp = sin(X Mp + phip)
+    Mp, phip, Md, phid = ws[0], ws[1], ws[2], ws[3]
+    dX = dX + mm(dSp * jnp.cos(mm(X, Mp) + phip), Mp.T)
+    dX = dX + mm(dSd * jnp.cos(mm(X, Md) + phid), Md.T)
+    dx_ref[:] = dX
+
+    # accumulate weight grads (grid-sequential on TPU)
+    for k, r in enumerate(dw_refs):
+        g = grads[4 + k]
+        assert g is not None, f"missing grad for packed array {4 + k}"
+
+        @pl.when(first)
+        def _(r=r, g=g):
+            r[:] = g
+
+        @pl.when(jnp.logical_not(first))
+        def _(r=r, g=g):
+            r[:] = r[:] + g
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _pad_n(x, block):
+    n = x.shape[0]
+    return jnp.pad(x, ((0, (-n) % block), (0, 0))), n
+
+
+def _interpret() -> bool:
+    """Run kernels through the Pallas interpreter off-TPU (CPU tests)."""
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_pallas(spec: FusedMLPSpec, packed: List[jnp.ndarray], x: jnp.ndarray):
+    xp, n = _pad_n(x, spec.block)
+    grid = (xp.shape[0] // spec.block,)
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in packed
+    ]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, spec),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((spec.block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((spec.block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], 8), jnp.float32),
+        interpret=_interpret(),
+    )(xp, *packed)
+    return out[:n]
+
+
+def _bwd_pallas(spec: FusedMLPSpec, packed: List[jnp.ndarray], x: jnp.ndarray, dout: jnp.ndarray):
+    xp, n = _pad_n(x, spec.block)
+    doutp, _ = _pad_n(dout, spec.block)
+    grid = (xp.shape[0] // spec.block,)
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in packed
+    ]
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed[4:]]
+    dw_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in packed[4:]
+    ]
+    dx, *dws = pl.pallas_call(
+        functools.partial(_bwd_kernel, spec),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((spec.block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((spec.block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *dw_specs,
+        ],
+        out_shape=[jax.ShapeDtypeStruct((xp.shape[0], 8), jnp.float32), *dw_shapes],
+        interpret=_interpret(),
+    )(xp, doutp, *packed)
+    return dx[:n], dws
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_apply(spec: FusedMLPSpec, packed: List[jnp.ndarray], x: jnp.ndarray):
+    """Fused encode+MLP: x [N, 8] -> raw [N, 8] (cols 0-2 rgb, 3 alpha)."""
+    return _fwd_pallas(spec, packed, x)
+
+
+def _vjp_fwd(spec, packed, x):
+    return _fwd_pallas(spec, packed, x), (packed, x)
+
+
+def _vjp_bwd(spec, res, dout):
+    packed, x = res
+    dx, dws = _bwd_pallas(spec, packed, x, dout)
+    # structural band/phase matrices get zero cotangents
+    dpacked = [jnp.zeros_like(p) for p in packed[:4]] + list(dws)
+    return dpacked, dx
+
+
+fused_apply.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_apply_reference(spec: FusedMLPSpec, packed: List[jnp.ndarray], x: jnp.ndarray):
+    """Pure-jnp twin of the kernel (identical math, differentiable by jax)."""
+    return _forward_core(spec, x, packed)

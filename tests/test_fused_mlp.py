@@ -1,0 +1,146 @@
+"""Fused encode+MLP kernel: parity vs the plain pipeline (outputs AND grads).
+
+Off-TPU the pallas_call runs in interpreter mode, so these tests execute the
+actual kernel logic. The jnp twin (fused_apply_reference) is checked against
+the unfused model path first, then the Pallas kernels against the twin.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_meets_mlx_tpu.config import EncodingConfig, MLPConfig, lego_hierarchical
+from nerf_meets_mlx_tpu.kernels.fused_mlp import (
+    FusedMLPSpec,
+    fused_apply,
+    fused_apply_reference,
+    pack_inputs,
+    pack_params,
+)
+from nerf_meets_mlx_tpu.models import create_nerf, init_nerf_mlp, nerf_mlp_apply
+from nerf_meets_mlx_tpu.encoding.sinusoidal import frequency_bands, sinusoidal_encode
+
+
+def _setup(depth=4, width=64, skips=(2,), pos_f=6, dir_f=3, block=128):
+    mlp = MLPConfig(net_depth=depth, net_width=width, skips=skips)
+    pos = EncodingConfig(kind="sinusoidal", in_dim=3, n_freqs=pos_f, include_input=True)
+    dir_ = EncodingConfig(kind="sinusoidal", in_dim=3, n_freqs=dir_f, include_input=True)
+    spec = FusedMLPSpec.from_configs(mlp, pos, dir_, block=block)
+    params = init_nerf_mlp(jax.random.PRNGKey(0), mlp, pos.out_dim, dir_.out_dim)
+    return mlp, pos, dir_, spec, params
+
+
+def _unfused(params, mlp, pos, dir_, pts, viewdirs):
+    bp = frequency_bands(pos.n_freqs, pos.min_freq_exp, None, pos.frequency_bands)
+    bd = frequency_bands(dir_.n_freqs, dir_.min_freq_exp, None, dir_.frequency_bands)
+    x_pos = sinusoidal_encode(pts, bp, include_input=True)
+    dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
+    x_dir = sinusoidal_encode(dirs, bd, include_input=True)
+    return nerf_mlp_apply(params, mlp, x_pos, x_dir)
+
+
+def _rand_inputs(B=16, S=4, seed=1):
+    kp, kd = jax.random.split(jax.random.PRNGKey(seed))
+    pts = jax.random.normal(kp, (B, S, 3))
+    viewdirs = jax.random.normal(kd, (B, 3))
+    viewdirs = viewdirs / jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
+    return pts, viewdirs
+
+
+def test_twin_matches_unfused_pipeline():
+    mlp, pos, dir_, spec, params = _setup()
+    pts, viewdirs = _rand_inputs()
+    ref = _unfused(params, mlp, pos, dir_, pts, viewdirs)  # [B, S, 4]
+    x = pack_inputs(pts, viewdirs)
+    packed = pack_params(spec, params)
+    out = fused_apply_reference(spec, packed, x)[:, :4].reshape(ref.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_twin_matches_unfused_deep_skip():
+    # lego-shaped: depth 8, width 256 (small batch), skip at 4, 10/4 freqs
+    mlp, pos, dir_, spec, params = _setup(
+        depth=8, width=256, skips=(4,), pos_f=10, dir_f=4, block=64
+    )
+    pts, viewdirs = _rand_inputs(B=8, S=8)
+    ref = _unfused(params, mlp, pos, dir_, pts, viewdirs)
+    x = pack_inputs(pts, viewdirs)
+    packed = pack_params(spec, params)
+    out = fused_apply_reference(spec, packed, x)[:, :4].reshape(ref.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_forward_matches_twin():
+    mlp, pos, dir_, spec, params = _setup(block=128)
+    pts, viewdirs = _rand_inputs(B=32, S=8)  # 256 points = 2 blocks
+    x = pack_inputs(pts, viewdirs)
+    packed = pack_params(spec, params)
+    twin = fused_apply_reference(spec, packed, x)
+    out = fused_apply(spec, packed, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(twin), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_forward_nondivisible_batch():
+    mlp, pos, dir_, spec, params = _setup(block=128)
+    pts, viewdirs = _rand_inputs(B=10, S=7)  # 70 points, pads to 128
+    x = pack_inputs(pts, viewdirs)
+    packed = pack_params(spec, params)
+    twin = fused_apply_reference(spec, packed, x)
+    out = fused_apply(spec, packed, x)
+    assert out.shape == (70, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(twin), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_grads_match_twin():
+    mlp, pos, dir_, spec, params = _setup(block=128)
+    pts, viewdirs = _rand_inputs(B=32, S=8)
+    x = pack_inputs(pts, viewdirs)
+
+    def loss_pallas(p, x):
+        packed = pack_params(spec, p)
+        return jnp.sum(fused_apply(spec, packed, x)[:, :4] ** 2)
+
+    def loss_twin(p, x):
+        packed = pack_params(spec, p)
+        return jnp.sum(fused_apply_reference(spec, packed, x)[:, :4] ** 2)
+
+    gp, gxp = jax.grad(loss_pallas, argnums=(0, 1))(params, x)
+    gt, gxt = jax.grad(loss_twin, argnums=(0, 1))(params, x)
+
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(gp)
+    flat_t, _ = jax.tree_util.tree_flatten_with_path(gt)
+    for (path, a), (_, b) in zip(flat_p, flat_t):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    np.testing.assert_allclose(np.asarray(gxp), np.asarray(gxt), rtol=5e-3, atol=1e-4)
+
+
+def test_fused_model_query_matches_plain():
+    cfg = lego_hierarchical()
+    cfg = cfg.replace(
+        mlp=dataclasses.replace(cfg.mlp, net_depth=4, net_width=64, skips=(2,)),
+        mlp_fine=dataclasses.replace(cfg.mlp, net_depth=4, net_width=64, skips=(2,)),
+    )
+    model_plain = create_nerf(cfg)
+    model_fused = create_nerf(cfg.replace(use_fused_kernel=True))
+    params = model_plain.init(jax.random.PRNGKey(0))
+    pts, viewdirs = _rand_inputs(B=16, S=4)
+    a = model_plain.query(params, "coarse", pts, viewdirs)
+    b = model_fused.query(params, "coarse", pts, viewdirs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_bfloat16_close():
+    mlp, pos, dir_, spec, params = _setup(block=128)
+    spec16 = dataclasses.replace(spec, compute_dtype="bfloat16")
+    pts, viewdirs = _rand_inputs(B=16, S=8)
+    x = pack_inputs(pts, viewdirs)
+    packed = pack_params(spec, params)
+    f32 = fused_apply_reference(spec, packed, x)
+    bf16 = fused_apply_reference(spec16, packed, x)
+    assert np.abs(np.asarray(f32) - np.asarray(bf16)).max() < 0.1

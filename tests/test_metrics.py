@@ -1,0 +1,41 @@
+"""Metrics: MSE/PSNR formulas, SSIM properties."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_meets_mlx_tpu.ops import mse, psnr, ssim
+from nerf_meets_mlx_tpu.ops.metrics import mse_to_psnr
+
+
+def test_mse_psnr_formulas():
+    a = jnp.zeros((4, 4, 3))
+    b = jnp.full((4, 4, 3), 0.1)
+    np.testing.assert_allclose(float(mse(a, b)), 0.01, rtol=1e-6)
+    np.testing.assert_allclose(float(psnr(a, b)), 20.0, rtol=1e-5)
+    np.testing.assert_allclose(float(mse_to_psnr(jnp.asarray(0.01))), 20.0, rtol=1e-5)
+
+
+def test_psnr_identical_images_large():
+    a = jnp.ones((8, 8, 3)) * 0.5
+    assert float(psnr(a, a + 1e-6)) > 100.0
+
+
+def test_ssim_self_is_one():
+    img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))
+    np.testing.assert_allclose(float(ssim(img, img)), 1.0, atol=1e-5)
+
+
+def test_ssim_decreases_with_noise():
+    key = jax.random.PRNGKey(1)
+    img = jax.random.uniform(key, (48, 48, 3))
+    small = img + jax.random.normal(jax.random.PRNGKey(2), img.shape) * 0.02
+    big = img + jax.random.normal(jax.random.PRNGKey(3), img.shape) * 0.3
+    s_small = float(ssim(jnp.clip(small, 0, 1), img))
+    s_big = float(ssim(jnp.clip(big, 0, 1), img))
+    assert 1.0 > s_small > s_big
+
+
+def test_ssim_grayscale_input():
+    img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32))
+    assert 0.99 < float(ssim(img, img)) <= 1.0 + 1e-6

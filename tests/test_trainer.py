@@ -1,0 +1,140 @@
+"""Training engine: fused step, convergence on tiny problems, lr schedule,
+checkpoint round-trip."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_meets_mlx_tpu.config import (
+    image2d,
+    lego_hierarchical,
+    TrainConfig,
+)
+from nerf_meets_mlx_tpu.datasets import make_synthetic_scene, make_test_image
+from nerf_meets_mlx_tpu.datasets.image import pixel_dataset
+from nerf_meets_mlx_tpu.engine import (
+    Trainer,
+    make_image_train_step,
+    make_nerf_train_step,
+    lr_schedule,
+)
+from nerf_meets_mlx_tpu.engine.train_state import create_train_state
+from nerf_meets_mlx_tpu.engine.checkpoint import (
+    save_checkpoint,
+    restore_checkpoint,
+    latest_step,
+)
+from nerf_meets_mlx_tpu.models import create_nerf
+
+
+def _tiny_nerf_cfg():
+    cfg = lego_hierarchical()
+    cfg = cfg.replace(
+        mlp=dataclasses.replace(cfg.mlp, net_depth=3, net_width=64, skips=()),
+        mlp_fine=dataclasses.replace(cfg.mlp, net_depth=3, net_width=64, skips=()),
+        render=dataclasses.replace(cfg.render, n_samples=16, n_importance=16),
+        train=dataclasses.replace(cfg.train, n_rand=256, lrate=5e-3, i_weights=0, i_print=0),
+    )
+    return cfg
+
+
+def test_lr_schedule_matches_reference_formula():
+    cfg = TrainConfig(lrate=5e-4, lrate_decay=250)
+    sched = lr_schedule(cfg)
+    for step in [0, 1000, 50_000, 250_000]:
+        expected = 5e-4 * 0.1 ** (step / 250_000)
+        np.testing.assert_allclose(float(sched(step)), expected, rtol=1e-5)
+
+
+def test_lr_schedule_disabled():
+    assert lr_schedule(TrainConfig(lrate=1e-3, lrate_decay=0)) == 1e-3
+
+
+def test_image_step_converges():
+    cfg = image2d()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, n_rand=512, i_weights=0))
+    model = create_nerf(cfg)
+    step = make_image_train_step(model)
+    img = make_test_image(32)
+    coords, colors = pixel_dataset(img)
+    coords, colors = jnp.asarray(coords), jnp.asarray(colors)
+    state = create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(200):
+        state, aux = step(state, coords, colors, key)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0] * 0.25, f"no convergence: {losses[0]} -> {losses[-1]}"
+    assert losses[-1] < 0.02
+
+
+def test_nerf_step_runs_and_improves():
+    cfg = _tiny_nerf_cfg()
+    model = create_nerf(cfg)
+    ds = make_synthetic_scene(n_train=4, n_val=1, n_test=1, resolution=32)
+    images = jnp.asarray(ds.images[ds.i_train])
+    poses = jnp.asarray(ds.poses[ds.i_train, :3, :4])
+    step = make_nerf_train_step(model, ds.H, ds.W, ds.focal)
+    state = create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train)
+    key = jax.random.PRNGKey(1)
+    first = None
+    for i in range(150):
+        state, aux = step(state, images, poses, key)
+        if i == 0:
+            first = float(aux["loss"])
+    last = float(aux["loss"])
+    assert np.isfinite(last)
+    assert last < first, f"loss did not improve: {first} -> {last}"
+    assert int(state.step) == 150
+    assert "loss_fine" in aux and "psnr" in aux
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_nerf_cfg()
+    model = create_nerf(cfg)
+    state = create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train)
+    state = state.replace(step=jnp.asarray(42, jnp.int32))
+    save_checkpoint(tmp_path / "ckpt", state, 42)
+    assert latest_step(tmp_path / "ckpt") == 42
+    template = create_train_state(model.init(jax.random.PRNGKey(7)), cfg.train)
+    restored = restore_checkpoint(tmp_path / "ckpt", template, 42)
+    assert int(restored.step) == 42
+    w0 = np.asarray(state.params["coarse"]["pos_linears"][0]["w"])
+    w1 = np.asarray(restored.params["coarse"]["pos_linears"][0]["w"])
+    np.testing.assert_array_equal(w0, w1)
+
+
+def test_trainer_orchestration(tmp_path):
+    cfg = image2d()
+    cfg = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, n_rand=256, i_print=10, i_weights=20, log_dir=str(tmp_path)
+        )
+    )
+    model = create_nerf(cfg)
+    img = make_test_image(16)
+    coords, colors = pixel_dataset(img)
+    trainer = Trainer(
+        cfg,
+        model,
+        make_image_train_step(model),
+        (jnp.asarray(coords), jnp.asarray(colors)),
+        log_dir=tmp_path / "run",
+    )
+    metrics = trainer.run(25)
+    assert trainer.step == 25
+    assert "loss" in metrics
+    assert (tmp_path / "run" / "metrics.jsonl").exists()
+    # checkpoint was written at step 20
+    assert latest_step(tmp_path / "run" / "ckpt") == 20
+    # resume path restores the saved step
+    trainer2 = Trainer(
+        cfg,
+        model,
+        make_image_train_step(model),
+        (jnp.asarray(coords), jnp.asarray(colors)),
+        log_dir=tmp_path / "run",
+    )
+    assert trainer2.restore() == 20
