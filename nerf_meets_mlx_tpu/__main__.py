@@ -25,11 +25,20 @@ def main(argv=None):
     t.add_argument("--no-resume", action="store_true")
     t.add_argument("--no-video", action="store_true")
 
+    r = sub.add_parser("render", help="render from a checkpoint (orbit video or test views)")
+    r.add_argument("--preset", default="lego_hierarchical", choices=sorted(PRESETS))
+    r.add_argument("--log-dir", required=True, help="experiment dir containing ckpt/")
+    r.add_argument("--data-dir", default=None)
+    r.add_argument("--render-test", action="store_true", help="render + score held-out test views")
+    r.add_argument("--out-dir", default=None)
+    r.add_argument("--n-orbit", type=int, default=160)
+
     i = sub.add_parser("image", help="2-D image learning")
     i.add_argument("--image-path", default=None)
     i.add_argument("--size", type=int, default=400)
     i.add_argument("--max-iters", type=int, default=1000)
     i.add_argument("--log-dir", default=None)
+    i.add_argument("--viewer-port", type=int, default=None, help="serve the live web viewer on this port")
 
     args = p.parse_args(argv)
     if args.cmd == "train":
@@ -44,6 +53,17 @@ def main(argv=None):
             resume=not args.no_resume,
             render_video=not args.no_video,
         )
+    elif args.cmd == "render":
+        from nerf_meets_mlx_tpu.entrypoints import render_only
+
+        out = render_only(
+            preset=args.preset,
+            log_dir=args.log_dir,
+            data_dir=args.data_dir,
+            render_test=args.render_test,
+            out_dir=args.out_dir,
+            n_orbit=args.n_orbit,
+        )
     else:
         from nerf_meets_mlx_tpu.entrypoints import image_learning
 
@@ -52,6 +72,7 @@ def main(argv=None):
             size=args.size,
             max_iters=args.max_iters,
             log_dir=args.log_dir,
+            viewer_port=args.viewer_port,
         )
     print(out)
 

@@ -32,8 +32,13 @@ def image_learning(
     max_iters: int = 1000,
     log_dir: Optional[str] = None,
     frame_every: int = 50,
+    viewer_port: Optional[int] = None,
 ) -> dict:
-    """Overfit an MLP to one image; returns final PSNR."""
+    """Overfit an MLP to one image; returns final PSNR.
+
+    With viewer_port set, serves the live GUI (GT/prediction images,
+    metrics, pause/resume) — the reference's viser loop
+    (__viser_image_learning.py:238-315) without the viser dependency."""
     cfg = image2d()
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, max_iters=max_iters))
     img = load_image_2d(image_path, size)
@@ -52,10 +57,24 @@ def image_learning(
         pred = model.query(params, "coarse", coords[:, None, :], None)[:, 0, :]
         return pred.reshape(H, W, 3)
 
+    viewer = None
+    if viewer_port is not None:
+        from nerf_meets_mlx_tpu.tools.viewer import LiveViewer
+
+        viewer = LiveViewer(port=viewer_port)
+        viewer.update("gt", img)
+        print(f"[viewer] http://localhost:{viewer.port}/", flush=True)
+
     frames = []
     while trainer.step < max_iters:
-        trainer.run(min(frame_every, max_iters - trainer.step))
-        frames.append(to8b(predict(trainer.state.params)))
+        if viewer is not None:
+            viewer.wait_if_paused()
+        metrics = trainer.run(min(frame_every, max_iters - trainer.step))
+        pred_img = predict(trainer.state.params)
+        frames.append(to8b(pred_img))
+        if viewer is not None:
+            viewer.update("pred", np.asarray(pred_img))
+            viewer.set_state(step=trainer.step, **metrics)
 
     pred = predict(trainer.state.params)
     final_psnr = float(psnr_fn(pred, jnp.asarray(img)))

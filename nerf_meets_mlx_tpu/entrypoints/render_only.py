@@ -1,0 +1,76 @@
+"""Render-only entrypoint: load a checkpoint, render test poses or the orbit.
+
+Capability of the reference's --render_only / --render_test flags
+(/root/reference/mlx_nerf/config_parser.py:46-47) which its train driver
+never implemented (render_poses handling at __test_nerf.py:177-179 is the
+closest). Renders from the latest checkpoint in the experiment's log dir.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_meets_mlx_tpu.config import PRESETS
+from nerf_meets_mlx_tpu.engine.checkpoint import latest_step, restore_checkpoint
+from nerf_meets_mlx_tpu.engine.train_state import create_train_state
+from nerf_meets_mlx_tpu.entrypoints.train_nerf import _load_dataset
+from nerf_meets_mlx_tpu.models import create_nerf
+from nerf_meets_mlx_tpu.ops import psnr as psnr_fn
+from nerf_meets_mlx_tpu.rendering import render_image, render_orbit
+from nerf_meets_mlx_tpu.utils.video import to8b, write_video
+
+
+def render_only(
+    preset: str = "lego_hierarchical",
+    log_dir: str = "",
+    data_dir: Optional[str] = None,
+    render_test: bool = False,
+    out_dir: Optional[str] = None,
+    n_orbit: int = 160,
+) -> dict:
+    """Render from the latest checkpoint under ``log_dir``.
+
+    render_test=True renders + scores the held-out test views (PSNR);
+    otherwise writes the orbit video.
+    """
+    cfg = PRESETS[preset]()
+    if data_dir:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, data_dir=data_dir))
+    elif not cfg.data.data_dir:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, dataset_type="synthetic"))
+
+    ds = _load_dataset(cfg)
+    model = create_nerf(cfg)
+
+    ckpt_dir = Path(log_dir) / "ckpt"
+    step = latest_step(ckpt_dir)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    template = create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train)
+    state = restore_checkpoint(ckpt_dir, template, step)
+    out_path = Path(out_dir or (Path(log_dir) / f"render_only_{step}"))
+    out_path.mkdir(parents=True, exist_ok=True)
+
+    result: dict = {"step": step}
+    if render_test:
+        import imageio.v2 as imageio
+
+        psnrs = []
+        for i in ds.i_test:
+            out = render_image(model, state.params, ds.H, ds.W, ds.K, ds.poses[i, :3, :4])
+            psnrs.append(float(psnr_fn(out["rgb_map"], jnp.asarray(ds.images[i]))))
+            imageio.imwrite(out_path / f"test_{i:03d}.png", to8b(out["rgb_map"]))
+        result["test_psnr_mean"] = float(np.mean(psnrs))
+        result["test_psnrs"] = psnrs
+    else:
+        poses = ds.render_poses[:n_orbit]
+        frames = render_orbit(model, state.params, ds.H, ds.W, ds.K, poses)
+        path = write_video(out_path / "orbit.mp4", frames, fps=30)
+        result["video"] = str(path)
+    return result

@@ -59,6 +59,16 @@ def train_nerf(
     if max_iters:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, max_iters=max_iters))
 
+    # route the hot path through the fused Pallas kernel on real TPUs
+    # (off-TPU it would run in the slow interpreter; keep the XLA path there)
+    if (
+        jax.default_backend() == "tpu"
+        and cfg.pos_encoding.kind == "sinusoidal"
+        and cfg.dir_encoding is not None
+        and cfg.dir_encoding.kind == "sinusoidal"
+    ):
+        cfg = cfg.replace(use_fused_kernel=True)
+
     ds = _load_dataset(cfg)
     model = create_nerf(cfg)
     images = jax.device_put(jnp.asarray(ds.images[ds.i_train]))

@@ -75,6 +75,11 @@ class FusedMLPSpec:
     dir_band_mode: str
     compute_dtype: str = "float32"
     block: int = 1024
+    # backward block is smaller: the recompute keeps all `depth` layer
+    # activations live (block * width * depth floats) plus weight-gradient
+    # accumulators in VMEM. 512 measured fastest that still fits the 16 MB
+    # scoped-vmem budget on v5e (1024 OOMs; 256 costs ~12% more time).
+    bwd_block: int = 512
 
     @staticmethod
     def from_configs(
@@ -315,6 +320,20 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
     def mm(a, b):
         return jnp.dot(a.astype(cdt), b.astype(cdt), preferred_element_type=jnp.float32)
 
+    def mmTa(a, b):
+        """a.T @ b without materializing the transpose (contract dim 0)."""
+        return jax.lax.dot_general(
+            a.astype(cdt), b.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def mmbT(a, b):
+        """a @ b.T without materializing the transpose (contract dim 1)."""
+        return jax.lax.dot_general(
+            a.astype(cdt), b.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     out, (Sp, Sd, hs, feat, hd) = _forward_core(spec, X, ws, want_residuals=True)
     del out
 
@@ -346,28 +365,28 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
 
     # ---- backward ----
     # out = hd @ Wr + br + alpha_col
-    acc(i_Wr, mm(hd.T, dout))
+    acc(i_Wr, mmTa(hd, dout))
     acc(i_br, jnp.sum(dout, axis=0, keepdims=True))
-    dhd = mm(dout, ws[i_Wr].T) * (hd > 0)
+    dhd = mmbT(dout, ws[i_Wr]) * (hd > 0)
     dalpha = dout[:, 3:4]
 
     # hd = relu(feat @ Wdf + Sd @ Wds + X @ Bd + bd)
-    acc(i_Wdf, mm(feat.T, dhd))
-    acc(i_Wds, mm(Sd.T, dhd))
-    acc(i_Bd, mm(X.T, dhd))
+    acc(i_Wdf, mmTa(feat, dhd))
+    acc(i_Wds, mmTa(Sd, dhd))
+    acc(i_Bd, mmTa(X, dhd))
     acc(i_bd, jnp.sum(dhd, axis=0, keepdims=True))
-    dfeat = mm(dhd, ws[i_Wdf].T)
-    dSd = mm(dhd, ws[i_Wds].T)
-    dX = mm(dhd, ws[i_Bd].T)
+    dfeat = mmbT(dhd, ws[i_Wdf])
+    dSd = mmbT(dhd, ws[i_Wds])
+    dX = mmbT(dhd, ws[i_Bd])
 
     # hf = h_last @ Whf + bhf ; feat = hf[:, :W], alpha = hf[:, W]
     dhf = jnp.concatenate(
         [dfeat, jnp.pad(dalpha, ((0, 0), (0, LANE - 1)))], axis=1
     )
     h_last = hs[-1]
-    acc(i_Whf, mm(h_last.T, dhf))
+    acc(i_Whf, mmTa(h_last, dhf))
     acc(i_bhf, jnp.sum(dhf, axis=0, keepdims=True))
-    dh = mm(dhf, ws[i_Whf].T) * (h_last > 0)
+    dh = mmbT(dhf, ws[i_Whf]) * (h_last > 0)
 
     dSp = jnp.zeros_like(Sp)
     for j in range(spec.depth - 1, 0, -1):
@@ -375,30 +394,30 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
         h_prev = hs[j - 1]
         if len(ids) == 4:
             i_Ah, i_Aenc, i_Benc, i_bj = ids
-            acc(i_Ah, mm(h_prev.T, dh))
-            acc(i_Aenc, mm(Sp.T, dh))
-            acc(i_Benc, mm(X.T, dh))
+            acc(i_Ah, mmTa(h_prev, dh))
+            acc(i_Aenc, mmTa(Sp, dh))
+            acc(i_Benc, mmTa(X, dh))
             acc(i_bj, jnp.sum(dh, axis=0, keepdims=True))
-            dSp = dSp + mm(dh, ws[i_Aenc].T)
-            dX = dX + mm(dh, ws[i_Benc].T)
-            dh = mm(dh, ws[i_Ah].T) * (h_prev > 0)
+            dSp = dSp + mmbT(dh, ws[i_Aenc])
+            dX = dX + mmbT(dh, ws[i_Benc])
+            dh = mmbT(dh, ws[i_Ah]) * (h_prev > 0)
         else:
             i_Aj, i_bj = ids
-            acc(i_Aj, mm(h_prev.T, dh))
+            acc(i_Aj, mmTa(h_prev, dh))
             acc(i_bj, jnp.sum(dh, axis=0, keepdims=True))
-            dh = mm(dh, ws[i_Aj].T) * (h_prev > 0)
+            dh = mmbT(dh, ws[i_Aj]) * (h_prev > 0)
 
     # layer 0: h0 = relu(Sp @ A0 + X @ B0 + b0)
-    acc(i_A0, mm(Sp.T, dh))
-    acc(i_B0, mm(X.T, dh))
+    acc(i_A0, mmTa(Sp, dh))
+    acc(i_B0, mmTa(X, dh))
     acc(i_b0, jnp.sum(dh, axis=0, keepdims=True))
-    dSp = dSp + mm(dh, ws[i_A0].T)
-    dX = dX + mm(dh, ws[i_B0].T)
+    dSp = dSp + mmbT(dh, ws[i_A0])
+    dX = dX + mmbT(dh, ws[i_B0])
 
     # through the encodings: Sp = sin(X Mp + phip)
     Mp, phip, Md, phid = ws[0], ws[1], ws[2], ws[3]
-    dX = dX + mm(dSp * jnp.cos(mm(X, Mp) + phip), Mp.T)
-    dX = dX + mm(dSd * jnp.cos(mm(X, Md) + phid), Md.T)
+    dX = dX + mmbT(dSp * jnp.cos(mm(X, Mp) + phip), Mp)
+    dX = dX + mmbT(dSd * jnp.cos(mm(X, Md) + phid), Md)
     dx_ref[:] = dX
 
     # accumulate weight grads (grid-sequential on TPU)
@@ -451,9 +470,10 @@ def _fwd_pallas(spec: FusedMLPSpec, packed: List[jnp.ndarray], x: jnp.ndarray):
 
 
 def _bwd_pallas(spec: FusedMLPSpec, packed: List[jnp.ndarray], x: jnp.ndarray, dout: jnp.ndarray):
-    xp, n = _pad_n(x, spec.block)
-    doutp, _ = _pad_n(dout, spec.block)
-    grid = (xp.shape[0] // spec.block,)
+    blk = spec.bwd_block
+    xp, n = _pad_n(x, blk)
+    doutp, _ = _pad_n(dout, blk)
+    grid = (xp.shape[0] // blk,)
     w_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in packed
     ]
@@ -465,12 +485,12 @@ def _bwd_pallas(spec: FusedMLPSpec, packed: List[jnp.ndarray], x: jnp.ndarray, d
         functools.partial(_bwd_kernel, spec),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((spec.block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((spec.block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *w_specs,
         ],
         out_specs=[
-            pl.BlockSpec((spec.block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *dw_specs,
         ],
         out_shape=[jax.ShapeDtypeStruct((xp.shape[0], 8), jnp.float32), *dw_shapes],

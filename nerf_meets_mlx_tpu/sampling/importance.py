@@ -57,21 +57,33 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, (B, n_importance), dtype=cdf.dtype)
 
-    # batched right-bisection; sort-based formulation maps well onto TPU
-    inds = jax.vmap(
-        lambda c, q: jnp.searchsorted(c, q, side="right", method="sort")
-    )(cdf, u)
-    below = jnp.clip(inds - 1, 0, n)
-    above = jnp.clip(inds, 0, n)
-
-    cdf_from = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_to = jnp.take_along_axis(cdf, above, axis=-1)
+    # Right-searchsorted + the four index gathers, reformulated gather-free
+    # (per-row dynamic gathers are slow on TPU): with
+    #   C[b, j, k] = (cdf[b, j] <= u[b, k])
+    # the torch-variant's below/above lookups become masked reductions over
+    # the sorted cdf / midpoint arrays:
+    #   x[below] = max_j { x[j] : C }   (C[0] always holds: cdf[0] = 0)
+    #   x[above] = min_j { x[j] : !C }, falling back to x[n] when all hold
+    # — exactly clip(inds-1, 0, n) / clip(inds, 0, n) indexing for
+    # non-decreasing x. Everything is VPU-friendly broadcast work that XLA
+    # fuses into one pass over the [B, n+1, n_imp] cube.
+    C = cdf[:, :, None] <= u[:, None, :]  # [B, n+1, n_imp]
 
     # endpoint-padded bin midpoints: [m0, m0..m_{n-2}, m_{n-2}] -> [B, n+1]
     z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])  # [B, n-1]
     z_mid = jnp.concatenate([z_mid[..., :1], z_mid, z_mid[..., -1:]], axis=-1)
-    z_from = jnp.take_along_axis(z_mid, below, axis=-1)
-    z_to = jnp.take_along_axis(z_mid, above, axis=-1)
+
+    def at_below(x):  # x [B, n+1] non-decreasing -> x[below] [B, n_imp]
+        return jnp.max(jnp.where(C, x[:, :, None], -jnp.inf), axis=1)
+
+    def at_above(x):
+        masked_min = jnp.min(jnp.where(C, jnp.inf, x[:, :, None]), axis=1)
+        return jnp.minimum(masked_min, x[:, -1:])  # all-C rows fall back to x[n]
+
+    cdf_from = at_below(cdf)
+    cdf_to = at_above(cdf)
+    z_from = at_below(z_mid)
+    z_to = at_above(z_mid)
 
     denom = cdf_to - cdf_from
     denom = jnp.where(denom < eps, jnp.ones_like(denom), denom)
