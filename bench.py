@@ -70,7 +70,75 @@ def bench_train_step(n_warmup: int = 5, n_iters: int = 50, n_rand: int = 4096) -
     return n_rand * n_iters / dt
 
 
+def bench_scaling(n_devices: int = 0, rays_per_device: int = 4096, n_iters: int = 30):
+    """Weak-scaling efficiency: sharded step at 1 device vs N devices with
+    rays_per_device held constant (BASELINE.md scaling metric). On a real
+    pod this measures ICI/DCN overhead; on CPU it mechanically validates the
+    sharded program. Prints one JSON line with efficiency = T1 / TN."""
+    import jax
+
+    from nerf_meets_mlx_tpu.config import lego_hierarchical
+    from nerf_meets_mlx_tpu.engine.train_state import create_train_state
+    from nerf_meets_mlx_tpu.models import create_nerf
+    from nerf_meets_mlx_tpu.parallel import (
+        make_mesh,
+        make_sharded_nerf_train_step,
+        replicate_state,
+    )
+    import jax.numpy as jnp
+
+    n_devices = n_devices or len(jax.devices())
+    cfg = lego_hierarchical().replace(
+        use_fused_kernel=jax.default_backend() == "tpu"
+    )
+    model = create_nerf(cfg)
+    H = W = 400
+    focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(4, H, W, 3)), jnp.float32)
+    poses = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None, :3, :4], (4, 1, 1))
+    poses = poses.at[:, 2, 3].set(4.0)
+
+    def measure(nd):
+        mesh = make_mesh(nd)
+        step = make_sharded_nerf_train_step(
+            model, H, W, focal, mesh, n_rand_per_device=rays_per_device
+        )
+        state = replicate_state(
+            create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train), mesh
+        )
+        key = jax.random.PRNGKey(0)
+        for _ in range(3):
+            state, aux = step(state, images, poses, key)
+        float(aux["loss"])
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, aux = step(state, images, poses, key)
+        float(aux["loss"])
+        dt = (time.perf_counter() - t0) / n_iters
+        return rays_per_device * nd / dt, dt
+
+    rps1, t1 = measure(1)
+    rpsN, tN = measure(n_devices)
+    efficiency = t1 / tN  # weak scaling: perfect => same step time
+    print(
+        json.dumps(
+            {
+                "metric": "weak_scaling_efficiency",
+                "value": round(efficiency, 4),
+                "unit": f"T1/T{n_devices} (rays/device={rays_per_device})",
+                "vs_baseline": round(rpsN / max(rps1, 1e-9) / n_devices, 4),
+            }
+        )
+    )
+
+
 def main():
+    import sys
+
+    if "--scaling" in sys.argv:
+        bench_scaling()
+        return
     rays_per_sec = bench_train_step()
 
     baseline_path = Path(__file__).parent / "bench_baseline.json"

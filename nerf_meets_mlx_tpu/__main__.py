@@ -24,6 +24,8 @@ def main(argv=None):
     t.add_argument("--log-dir", default=None)
     t.add_argument("--no-resume", action="store_true")
     t.add_argument("--no-video", action="store_true")
+    t.add_argument("--nan-check", action="store_true", help="enable jax_debug_nans")
+    t.add_argument("--profile-dir", default=None, help="write a jax.profiler trace here")
 
     r = sub.add_parser("render", help="render from a checkpoint (orbit video or test views)")
     r.add_argument("--preset", default="lego_hierarchical", choices=sorted(PRESETS))
@@ -52,6 +54,8 @@ def main(argv=None):
             log_dir=args.log_dir,
             resume=not args.no_resume,
             render_video=not args.no_video,
+            nan_check=args.nan_check,
+            profile_dir=args.profile_dir,
         )
     elif args.cmd == "render":
         from nerf_meets_mlx_tpu.entrypoints import render_only

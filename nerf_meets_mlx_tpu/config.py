@@ -120,8 +120,14 @@ class RenderConfig:
     near: float = 2.0
     far: float = 6.0
     # "reference" reproduces render.py:20-96 exactly; "canonical" applies
-    # sigmoid(rgb)/relu(sigma) (standard NeRF compositing).
+    # sigmoid(rgb) + the density activation below (standard NeRF compositing).
     compositing: str = "canonical"
+    # canonical-mode density activation. "softplus" (default) keeps density
+    # gradients alive everywhere — with "relu", an unlucky init can push all
+    # raw densities negative within the first steps and the network dies
+    # (observed: coarse net permanently stuck predicting pure background).
+    # "relu" matches the original-NeRF/reference activation exactly.
+    density_activation: str = "softplus"
     # eval-time chunk of rays per lax.map step (reference --chunk=32768)
     ray_chunk: int = 32768
 
@@ -303,7 +309,10 @@ def _nerf_base(**render_kw) -> ExperimentConfig:
         mlp=MLPConfig(use_viewdirs=True),
         mlp_fine=MLPConfig(use_viewdirs=True),
         render=RenderConfig(**render_kw),
-        train=TrainConfig(),
+        # precrop 500 iters @ 0.5 matches the NeRF-original lego.txt the
+        # reference trains with — and guards against the white-background
+        # density-collapse local minimum (empirically init-dependent)
+        train=TrainConfig(precrop_iters=500, precrop_frac=0.5),
         data=DataConfig(dataset_type="blender", half_res=True),
     )
 

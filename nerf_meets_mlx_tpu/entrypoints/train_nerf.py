@@ -47,8 +47,16 @@ def train_nerf(
     log_dir: Optional[str] = None,
     resume: bool = True,
     render_video: bool = True,
+    nan_check: bool = False,
+    profile_dir: Optional[str] = None,
 ) -> dict:
-    """Train a NeRF; returns final metrics incl. held-out test PSNR."""
+    """Train a NeRF; returns final metrics incl. held-out test PSNR.
+
+    nan_check enables jax_debug_nans (the framework's sanitizer mode —
+    SURVEY §5); profile_dir captures a jax.profiler device trace of steps
+    ~10-20 for TensorBoard."""
+    if nan_check:
+        jax.config.update("jax_debug_nans", True)
     cfg = PRESETS[preset]()
     if config_txt:
         cfg = config_from_text(config_txt, cfg)
@@ -74,13 +82,23 @@ def train_nerf(
     images = jax.device_put(jnp.asarray(ds.images[ds.i_train]))
     poses = jax.device_put(jnp.asarray(ds.poses[ds.i_train, :3, :4]))
 
-    step_fn = make_nerf_train_step(model, ds.H, ds.W, ds.focal)
+    # n_inner (lax.scan step batching) measured neutral on v5e once the
+    # trainer stopped syncing per step — keep 1 for fine-grained cadences
+    step_fn = make_nerf_train_step(model, ds.H, ds.W, ds.focal, n_inner=1)
     trainer = Trainer(cfg, model, step_fn, (images, poses), log_dir=log_dir)
     if resume:
         trainer.restore()
 
     out_dir = trainer.log_dir
     tcfg = cfg.train
+
+    if profile_dir:
+        from nerf_meets_mlx_tpu.utils.profiling import trace
+
+        trainer.run(10)  # warm the compile cache outside the trace
+        with trace(profile_dir):
+            trainer.run(10)
+
     while trainer.step < tcfg.max_iters:
         n = min(tcfg.i_testset or tcfg.max_iters, tcfg.max_iters - trainer.step)
         metrics = trainer.run(n)

@@ -160,6 +160,7 @@ class NeRFModel:
             raw_noise_std=rcfg.raw_noise_std if train else 0.0,
             noise_key=k_noise_c,
             white_bkgd=rcfg.white_bkgd,
+            density_activation=rcfg.density_activation,
         )
 
         ret = {
@@ -196,6 +197,7 @@ class NeRFModel:
                 raw_noise_std=rcfg.raw_noise_std if train else 0.0,
                 noise_key=k_noise_f,
                 white_bkgd=rcfg.white_bkgd,
+                density_activation=rcfg.density_activation,
             )
             ret.update(
                 rgb_fine=out_f["rgb_map"],

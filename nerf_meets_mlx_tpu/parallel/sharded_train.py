@@ -22,9 +22,8 @@ import numpy as np
 import optax
 from jax.sharding import Mesh
 
-from nerf_meets_mlx_tpu.cameras.rays import get_rays_for_pixels
 from nerf_meets_mlx_tpu.engine.train_state import TrainState, make_optimizer
-from nerf_meets_mlx_tpu.engine.trainer import nerf_loss_fn
+from nerf_meets_mlx_tpu.engine.trainer import nerf_loss_fn, sample_train_rays
 from nerf_meets_mlx_tpu.models.factory import NeRFModel
 from nerf_meets_mlx_tpu.parallel.mesh import data_sharding, replicated
 
@@ -56,16 +55,9 @@ def make_sharded_nerf_train_step(
     repl = replicated(mesh)
 
     def step(state: TrainState, images, poses, key):
-        k_img, k_pix, k_render = jax.random.split(jax.random.fold_in(key, state.step), 3)
-        img_i = jax.random.randint(k_img, (), 0, images.shape[0])
-        target_img = images[img_i]
-        c2w = poses[img_i]
-
-        kx, ky = jax.random.split(k_pix)
-        px = jax.random.randint(kx, (n_rand,), 0, W)
-        py = jax.random.randint(ky, (n_rand,), 0, H)
-        rays_o, rays_d = get_rays_for_pixels(K, c2w, px, py)
-        target = target_img[py, px]
+        rays_o, rays_d, target, k_render = sample_train_rays(
+            cfg, state.step, images, poses, K, H, W, n_rand, key
+        )
 
         # shard the ray batch across chips; everything downstream
         # (encode/MLP/composite/loss) partitions along rays

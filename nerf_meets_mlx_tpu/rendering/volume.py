@@ -50,6 +50,7 @@ def raw2outputs(
     raw_noise_std: float = 0.0,
     noise_key: Optional[jax.Array] = None,
     white_bkgd: bool = False,
+    density_activation: str = "softplus",
 ) -> Dict[str, jnp.ndarray]:
     """Composite raw network outputs into rgb/depth/disp/acc maps + weights."""
     raw_rgb = raw[..., :3]    # [B, S, 3]
@@ -74,7 +75,15 @@ def raw2outputs(
         transmittance = jnp.exp(-_exclusive_cumsum(dd))  # NB: no relu (render.py:71-79)
         rgb = raw_rgb
     elif mode == "canonical":
-        sigma = jax.nn.relu(raw_sigma)
+        # softplus keeps d sigma/d raw > 0 everywhere; relu (the
+        # original-NeRF activation) can leave the whole field dead if an
+        # early update drives every sampled raw density negative
+        if density_activation == "softplus":
+            sigma = jax.nn.softplus(raw_sigma)
+        elif density_activation == "relu":
+            sigma = jax.nn.relu(raw_sigma)
+        else:
+            raise ValueError(f"unknown density_activation: {density_activation}")
         tau = sigma * deltas  # optical depth per bin
         alphas = -jnp.expm1(-tau)
         # exp(-prefix-sum of optical depth) == exclusive cumprod(1 - alpha)

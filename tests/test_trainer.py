@@ -138,3 +138,32 @@ def test_trainer_orchestration(tmp_path):
         log_dir=tmp_path / "run",
     )
     assert trainer2.restore() == 20
+
+
+def test_multi_step_scan_matches_sequential():
+    """n_inner=K in one dispatch == K sequential single steps (same keys)."""
+    cfg = _tiny_nerf_cfg()
+    from nerf_meets_mlx_tpu.datasets import make_synthetic_scene
+
+    model = create_nerf(cfg)
+    ds = make_synthetic_scene(n_train=2, n_val=1, n_test=1, resolution=16)
+    images = jnp.asarray(ds.images[ds.i_train])
+    poses = jnp.asarray(ds.poses[ds.i_train, :3, :4])
+    key = jax.random.PRNGKey(1)
+
+    step1 = make_nerf_train_step(model, ds.H, ds.W, ds.focal, n_inner=1)
+    s = create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train)
+    for _ in range(4):
+        s, aux_seq = step1(s, images, poses, key)
+
+    step4 = make_nerf_train_step(model, ds.H, ds.W, ds.focal, n_inner=4)
+    s4 = create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train)
+    s4, aux_scan = step4(s4, images, poses, key)
+
+    assert int(s4.step) == 4 == int(s.step)
+    np.testing.assert_allclose(
+        float(aux_seq["loss"]), float(aux_scan["loss"]), rtol=1e-5
+    )
+    w_a = np.asarray(s.params["coarse"]["pos_linears"][0]["w"])
+    w_b = np.asarray(s4.params["coarse"]["pos_linears"][0]["w"])
+    np.testing.assert_allclose(w_a, w_b, rtol=1e-5, atol=1e-7)
