@@ -335,10 +335,18 @@ def lego_full() -> ExperimentConfig:
 
 
 def lego_ingp() -> ExperimentConfig:
-    """Config 5: Instant-NGP hash-encoding variant, 5k-iter fast run."""
-    cfg = _nerf_base(n_samples=64, n_importance=128)
+    """Config 5: Instant-NGP hash-encoding variant, 5k-iter fast run.
+
+    Sized for the XLA-gather hash path (TPU random-access gathers are the
+    bottleneck — docs/DESIGN.md "Hash-grid on TPU"): 8 levels, 2^15 tables,
+    48+48 samples. Quality on bounded synthetic scenes is unaffected; raise
+    hash_n_levels/log2 when the custom gather kernel lands."""
+    cfg = _nerf_base(n_samples=48, n_importance=48)
     return cfg.replace(
-        pos_encoding=EncodingConfig(kind="hash_grid", in_dim=3),
+        pos_encoding=EncodingConfig(
+            kind="hash_grid", in_dim=3, hash_n_levels=8, hash_max_res=256,
+            hash_log2_table_size=15,
+        ),
         dir_encoding=EncodingConfig(kind="spherical_harmonics", in_dim=3, sh_degree=4),
         mlp=MLPConfig(net_depth=2, net_width=64, skips=(), use_viewdirs=True),
         mlp_fine=MLPConfig(net_depth=2, net_width=64, skips=(), use_viewdirs=True),

@@ -91,35 +91,32 @@ class HashGridEncoding:
         scaled = u[:, None, :] * res[None, :, None]  # [N, L, 3]
         floor = jnp.floor(scaled)
         frac = scaled - floor  # [N, L, 3]
-        base = floor.astype(jnp.int32)
+        base = floor.astype(jnp.uint32)
+        level_idx = jnp.arange(self.n_levels, dtype=jnp.int32)[None, :]  # [1, L]
+        mask = jnp.uint32(self.table_size - 1)
 
-        # 8 corner offsets in {0,1}^3, ordered by bits (z*4 + y*2 + x)
-        offsets = jnp.asarray(
-            [[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)],
-            dtype=jnp.int32,
-        )  # [8, 3]
-        corners = base[:, :, None, :] + offsets[None, None, :, :]  # [N, L, 8, 3]
-
-        # XOR-product hash in uint32 (primes exceed int32 range; uint32
-        # wrap-around is the intended modular arithmetic), bitmasked to the
-        # table size
-        cu = corners.astype(jnp.uint32)
-        h = (
-            cu[..., 0] * jnp.uint32(_PRIMES[0])
-            ^ cu[..., 1] * jnp.uint32(_PRIMES[1])
-            ^ cu[..., 2] * jnp.uint32(_PRIMES[2])
-        ) & jnp.uint32(self.table_size - 1)  # [N, L, 8]
-        h = h.astype(jnp.int32)
-
-        # gather per level: tables[l, h[n, l, c]] -> [N, L, 8, F]
-        level_idx = jnp.arange(self.n_levels, dtype=jnp.int32)[None, :, None]
-        gathered = tables[level_idx, h]  # [N, L, 8, F]
-
-        # trilinear weights: corner bit set -> frac, else 1-frac
-        w = jnp.where(
-            offsets[None, None, :, :] == 1, frac[:, :, None, :], 1.0 - frac[:, :, None, :]
-        )  # [N, L, 8, 3]
-        w = w[..., 0] * w[..., 1] * w[..., 2]  # [N, L, 8]
-
-        feats = jnp.sum(gathered * w[..., None], axis=2)  # [N, L, F]
+        # Static loop over the 8 corners (bit c = (bz, by, bx)). Keeping the
+        # corner axis OUT of the arrays bounds peak memory at [N, L(,F)]
+        # buffers — the naive [N, L, 8, 3] weight cube materializes ~19 GB
+        # at the fine batch (786k pts x 16 levels) and OOMs HBM.
+        fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]  # [N, L]
+        feats = jnp.zeros(
+            (x.shape[0], self.n_levels, self.features_per_level), jnp.float32
+        )
+        for c in range(8):
+            bx, by, bz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+            # XOR-product hash in uint32 (primes exceed int32; wrap-around
+            # is the intended modular arithmetic), bitmasked to table size
+            h = (
+                (base[..., 0] + jnp.uint32(bx)) * jnp.uint32(_PRIMES[0])
+                ^ (base[..., 1] + jnp.uint32(by)) * jnp.uint32(_PRIMES[1])
+                ^ (base[..., 2] + jnp.uint32(bz)) * jnp.uint32(_PRIMES[2])
+            ) & mask  # [N, L]
+            g = tables[level_idx, h.astype(jnp.int32)]  # [N, L, F]
+            w = (
+                (fx if bx else 1.0 - fx)
+                * (fy if by else 1.0 - fy)
+                * (fz if bz else 1.0 - fz)
+            )  # [N, L]
+            feats = feats + g * w[..., None]
         return feats.reshape(*lead_shape, self.out_dim)

@@ -1,0 +1,94 @@
+"""End-to-end entrypoint smoke tests on CPU (tiny workloads)."""
+
+import json
+
+import numpy as np
+
+
+def test_image_learning_entrypoint(tmp_path):
+    from nerf_meets_mlx_tpu.entrypoints import image_learning
+
+    out = image_learning(size=24, max_iters=60, log_dir=tmp_path, frame_every=30)
+    assert out["steps"] == 60
+    assert np.isfinite(out["final_psnr"])
+    assert (tmp_path / "metrics.jsonl").exists()
+    rec = json.loads((tmp_path / "metrics.jsonl").read_text().splitlines()[-1])
+    assert rec["final_psnr"] == out["final_psnr"]
+
+
+def test_precrop_samples_center_only():
+    """During the precrop window every sampled pixel is inside the crop."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_meets_mlx_tpu.config import lego_hierarchical
+    from nerf_meets_mlx_tpu.engine.trainer import sample_train_rays
+    import dataclasses
+
+    cfg = lego_hierarchical()
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, precrop_iters=100, precrop_frac=0.5)
+    )
+    H = W = 32
+    K = np.array([[20.0, 0, 16], [0, 20.0, 16], [0, 0, 1]], np.float32)
+    images = jnp.zeros((2, H, W, 3))
+    poses = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None, :3, :4], (2, 1, 1))
+
+    # inside the window: rays restricted to the central crop; we verify by
+    # reconstructing pixel coords from the ray directions
+    def pixels_of(step):
+        ro, rd, tgt, _ = sample_train_rays(
+            cfg, jnp.asarray(step), images, poses, K, H, W, 256, jax.random.PRNGKey(0)
+        )
+        # dirs = ((px-cx)/f, -(py-cy)/f, -1) for identity pose
+        px = np.asarray(rd[:, 0]) * 20.0 + 16.0
+        py = -np.asarray(rd[:, 1]) * 20.0 + 16.0
+        return np.round(px).astype(int), np.round(py).astype(int)
+
+    px, py = pixels_of(0)
+    assert px.min() >= 8 and px.max() < 24, (px.min(), px.max())
+    assert py.min() >= 8 and py.max() < 24
+    px, py = pixels_of(100)  # window over
+    assert px.min() < 8 or px.max() >= 24  # full-frame sampling resumes
+
+
+def test_render_only_entrypoint(tmp_path, monkeypatch):
+    """render_only restores a checkpoint and scores test views."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_meets_mlx_tpu import config as cfg_mod
+    from nerf_meets_mlx_tpu.engine.checkpoint import save_checkpoint
+    from nerf_meets_mlx_tpu.engine.train_state import create_train_state
+    from nerf_meets_mlx_tpu.entrypoints.render_only import render_only
+    from nerf_meets_mlx_tpu.models import create_nerf
+
+    tiny = cfg_mod.lego_hierarchical().replace(
+        mlp=dataclasses.replace(cfg_mod.MLPConfig(), net_depth=2, net_width=32, skips=()),
+        mlp_fine=dataclasses.replace(cfg_mod.MLPConfig(), net_depth=2, net_width=32, skips=()),
+        render=dataclasses.replace(
+            cfg_mod.lego_hierarchical().render, n_samples=8, n_importance=8
+        ),
+        data=dataclasses.replace(
+            cfg_mod.lego_hierarchical().data,
+            dataset_type="synthetic",
+            synth_n_train=2,
+            synth_n_val=1,
+            synth_n_test=1,
+            synth_resolution=16,
+        ),
+    )
+    monkeypatch.setitem(cfg_mod.PRESETS, "tiny_test", lambda: tiny)
+
+    model = create_nerf(tiny)
+    state = create_train_state(model.init(jax.random.PRNGKey(0)), tiny.train)
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+    save_checkpoint(tmp_path / "ckpt", state, 7)
+
+    out = render_only(
+        preset="tiny_test", log_dir=tmp_path, render_test=True, out_dir=tmp_path / "out"
+    )
+    assert out["step"] == 7
+    assert np.isfinite(out["test_psnr_mean"])
+    assert (tmp_path / "out" / "test_003.png").exists()
