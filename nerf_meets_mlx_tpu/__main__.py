@@ -26,6 +26,7 @@ def main(argv=None):
     t.add_argument("--no-video", action="store_true")
     t.add_argument("--nan-check", action="store_true", help="enable jax_debug_nans")
     t.add_argument("--profile-dir", default=None, help="write a jax.profiler trace here")
+    t.add_argument("--synth-resolution", type=int, default=None, help="procedural scene resolution (synthetic dataset only)")
 
     r = sub.add_parser("render", help="render from a checkpoint (orbit video or test views)")
     r.add_argument("--preset", default="lego_hierarchical", choices=sorted(PRESETS))
@@ -56,6 +57,7 @@ def main(argv=None):
             render_video=not args.no_video,
             nan_check=args.nan_check,
             profile_dir=args.profile_dir,
+            synth_resolution=args.synth_resolution,
         )
     elif args.cmd == "render":
         from nerf_meets_mlx_tpu.entrypoints import render_only

@@ -49,6 +49,7 @@ def train_nerf(
     render_video: bool = True,
     nan_check: bool = False,
     profile_dir: Optional[str] = None,
+    synth_resolution: Optional[int] = None,
 ) -> dict:
     """Train a NeRF; returns final metrics incl. held-out test PSNR.
 
@@ -66,6 +67,10 @@ def train_nerf(
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, dataset_type="synthetic"))
     if max_iters:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, max_iters=max_iters))
+    if synth_resolution:
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, synth_resolution=synth_resolution)
+        )
 
     # route the hot path through the fused Pallas kernel on real TPUs
     # (off-TPU it would run in the slow interpreter; keep the XLA path there)
