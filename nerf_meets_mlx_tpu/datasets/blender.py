@@ -49,12 +49,6 @@ class BlenderDataset:
         )
 
 
-def _imread(path: Path) -> np.ndarray:
-    import imageio.v2 as imageio
-
-    return np.asarray(imageio.imread(path))
-
-
 def _half_res_area(img: np.ndarray) -> np.ndarray:
     """2x2 box-filter downscale (cv2.INTER_AREA equivalent for factor 2)."""
     H, W = img.shape[:2]
@@ -74,14 +68,18 @@ def load_blender_data(
     splits = ["train", "val", "test"]
     all_imgs, all_poses, counts = [], [], [0]
 
+    from nerf_meets_mlx_tpu.datasets.native_io import load_png_batch
+
     for s in splits:
         meta = json.loads((basedir / f"transforms_{s}.json").read_text())
         skip = 1 if (s == "train" or testskip == 0) else testskip
-        imgs, poses = [], []
-        for frame in meta["frames"][::skip]:
-            imgs.append(_imread(basedir / (frame["file_path"] + ".png")))
-            poses.append(np.array(frame["transform_matrix"], dtype=np.float32))
-        imgs = (np.stack(imgs).astype(np.float32)) / 255.0  # keep alpha
+        frames = meta["frames"][::skip]
+        # threaded native decode (falls back to imageio) — the reference
+        # decodes serially per file (dataloader.py:44-50)
+        imgs = load_png_batch(
+            [basedir / (f["file_path"] + ".png") for f in frames]
+        )
+        poses = [np.array(f["transform_matrix"], dtype=np.float32) for f in frames]
         all_imgs.append(imgs)
         all_poses.append(np.stack(poses))
         counts.append(counts[-1] + imgs.shape[0])

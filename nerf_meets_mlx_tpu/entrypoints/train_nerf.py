@@ -8,7 +8,6 @@ periodic test-pose renders, and the final orbit video.
 from __future__ import annotations
 
 import dataclasses
-from pathlib import Path
 from typing import Optional
 
 import jax

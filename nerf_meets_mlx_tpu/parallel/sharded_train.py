@@ -14,10 +14,9 @@ it is the framework's scaling path per BASELINE.md (≥90% rays/s efficiency
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import Mesh

@@ -18,13 +18,12 @@ Usage:
 
 from __future__ import annotations
 
-import io
 import json
 import struct
 import threading
 import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
