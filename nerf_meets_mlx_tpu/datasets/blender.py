@@ -115,3 +115,23 @@ def load_blender_data(
         i_val=i_split[1],
         i_test=i_split[2],
     )
+
+
+def validate_dataset(ds: BlenderDataset, out_path: str | Path, n: int = 10) -> Path:
+    """Write a contact sheet of the first n test images for eyeballing.
+
+    Headless equivalent of the reference's validate_dataset
+    (dataloader.py:113-129, which opens a matplotlib window)."""
+    import imageio.v2 as imageio
+
+    idx = ds.i_test[:n] if len(ds.i_test) else np.arange(min(n, len(ds.images)))
+    cols = min(5, len(idx))
+    rows = -(-len(idx) // cols)
+    sheet = np.ones((rows * ds.H, cols * ds.W, 3), np.float32)
+    for k, i in enumerate(idx):
+        r, c = divmod(k, cols)
+        sheet[r * ds.H : (r + 1) * ds.H, c * ds.W : (c + 1) * ds.W] = ds.images[i]
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    imageio.imwrite(out_path, (np.clip(sheet, 0, 1) * 255).astype(np.uint8))
+    return out_path

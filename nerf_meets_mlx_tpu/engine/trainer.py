@@ -207,12 +207,17 @@ class Trainer:
         step_args: Tuple,
         log_dir: Optional[str | Path] = None,
         steps_per_call: int = 1,
+        save_secs: float = 300.0,
     ):
         self.cfg = cfg
         self.model = model
         self.step_fn = step_fn
         self.step_args = step_args
         self.steps_per_call = steps_per_call
+        # wall-clock checkpoint cadence (preemption guard) in addition to
+        # the step-count cadence (i_weights); 0 disables
+        self.save_secs = save_secs
+        self._t_saved = time.perf_counter()
         self.key = jax.random.PRNGKey(cfg.train.seed)
         params = model.init(jax.random.fold_in(self.key, 1))
         self.state = create_train_state(params, cfg.train)
@@ -269,4 +274,8 @@ class Trainer:
                 prev // self.cfg.train.i_weights
             ):
                 self.save()
+                self._t_saved = time.perf_counter()
+            elif self.save_secs and time.perf_counter() - self._t_saved > self.save_secs:
+                self.save()
+                self._t_saved = time.perf_counter()
         return {k: float(v) for k, v in metrics.items()}

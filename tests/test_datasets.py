@@ -91,3 +91,13 @@ def test_make_test_image_and_pixel_dataset():
     # coords order matches image raster order
     np.testing.assert_allclose(colors[65], img[1, 1], rtol=1e-6)
     np.testing.assert_allclose(coords[65], [1 / 64, 1 / 64], rtol=1e-6)
+
+
+def test_validate_dataset_contact_sheet(tmp_path):
+    from nerf_meets_mlx_tpu.datasets.blender import validate_dataset
+    import imageio.v2 as imageio
+
+    ds = make_synthetic_scene(n_train=2, n_val=1, n_test=3, resolution=16)
+    out = validate_dataset(ds, tmp_path / "sheet.png")
+    img = imageio.imread(out)
+    assert img.shape == (16, 3 * 16, 3)

@@ -144,3 +144,32 @@ def test_fused_bfloat16_close():
     f32 = fused_apply_reference(spec, packed, x)
     bf16 = fused_apply_reference(spec16, packed, x)
     assert np.abs(np.asarray(f32) - np.asarray(bf16)).max() < 0.1
+
+
+def test_fused_reference_squared_bands():
+    """The fused kernel honors the reference's squared-linspace band quirk."""
+    mlp = MLPConfig(net_depth=3, net_width=64, skips=())
+    pos = EncodingConfig(
+        kind="sinusoidal", in_dim=3, n_freqs=5, include_input=True,
+        frequency_bands="reference_squared",
+    )
+    dir_ = EncodingConfig(
+        kind="sinusoidal", in_dim=3, n_freqs=3, include_input=True,
+        frequency_bands="reference_squared",
+    )
+    spec = FusedMLPSpec.from_configs(mlp, pos, dir_, block=128)
+    assert spec.pos_band_mode == "reference_squared"
+    params = init_nerf_mlp(jax.random.PRNGKey(0), mlp, pos.out_dim, dir_.out_dim)
+    pts, viewdirs = _rand_inputs(B=16, S=4)
+
+    bp = frequency_bands(pos.n_freqs, 0.0, None, "reference_squared")
+    bd = frequency_bands(dir_.n_freqs, 0.0, None, "reference_squared")
+    x_pos = sinusoidal_encode(pts, bp, include_input=True)
+    dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
+    x_dir = sinusoidal_encode(dirs, bd, include_input=True)
+    ref = nerf_mlp_apply(params, mlp, x_pos, x_dir)
+
+    x = pack_inputs(pts, viewdirs)
+    packed = pack_params(spec, params)
+    out = fused_apply(spec, packed, x)[:, :4].reshape(ref.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)

@@ -167,3 +167,24 @@ def test_multi_step_scan_matches_sequential():
     w_a = np.asarray(s.params["coarse"]["pos_linears"][0]["w"])
     w_b = np.asarray(s4.params["coarse"]["pos_linears"][0]["w"])
     np.testing.assert_allclose(w_a, w_b, rtol=1e-5, atol=1e-7)
+
+
+def test_wall_clock_checkpointing(tmp_path):
+    """save_secs cadence writes checkpoints even when i_weights never fires."""
+    cfg = image2d()
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, n_rand=64, i_print=0, i_weights=10_000)
+    )
+    model = create_nerf(cfg)
+    img = make_test_image(8)
+    coords, colors = pixel_dataset(img)
+    trainer = Trainer(
+        cfg,
+        model,
+        make_image_train_step(model),
+        (jnp.asarray(coords), jnp.asarray(colors)),
+        log_dir=tmp_path / "run",
+        save_secs=0.01,  # force an immediate wall-clock save
+    )
+    trainer.run(3)
+    assert latest_step(tmp_path / "run" / "ckpt") is not None
