@@ -174,3 +174,64 @@ def test_reference_vs_canonical_differ():
     o1 = m1.render_rays(params, rays_o, rays_d, jax.random.PRNGKey(1), train=False)
     o2 = m2.render_rays(params, rays_o, rays_d, jax.random.PRNGKey(1), train=False)
     assert not np.allclose(np.asarray(o1["rgb_map"]), np.asarray(o2["rgb_map"]))
+
+
+def _np_sample_pdf_det(z, w, n_imp, eps=1e-5):
+    """numpy twin of sample_pdf(deterministic=True) — torch-variant math."""
+    B, n = w.shape
+    w = w + 0.01
+    s = w.sum(-1, keepdims=True)
+    pad = np.maximum(eps - s, 0.0)
+    w = w + pad / n
+    s = s + pad
+    cdf = np.minimum(1.0, np.cumsum(w / s, -1))
+    cdf = np.concatenate([np.zeros((B, 1), np.float32), cdf], -1)
+    u = np.broadcast_to(np.linspace(0, 1, n_imp, dtype=np.float32), (B, n_imp))
+    zm = 0.5 * (z[:, 1:] + z[:, :-1])
+    zm = np.concatenate([zm[:, :1], zm, zm[:, -1:]], -1)
+    out = np.zeros((B, n_imp), np.float32)
+    for b in range(B):
+        inds = np.searchsorted(cdf[b], u[b], side="right")
+        lo = np.clip(inds - 1, 0, n)
+        hi = np.clip(inds, 0, n)
+        den = cdf[b][hi] - cdf[b][lo]
+        den = np.where(den < eps, 1.0, den)
+        t = np.clip(np.nan_to_num((u[b] - cdf[b][lo]) / den), 0, 1)
+        out[b] = zm[b][lo] + t * (zm[b][hi] - zm[b][lo])
+    return out
+
+
+def test_reference_semantics_hierarchical_eval_allclose():
+    """Full eval pipeline (coarse -> deterministic inverse-CDF -> fine) in
+    reference mode vs an independent numpy transcription — the render_rays_eval
+    counterpart (render.py:164-241) without the torch round-trip."""
+    cfg = _reference_cfg()
+    cfg = cfg.replace(render=dataclasses.replace(cfg.render, n_importance=4))
+    model = create_nerf(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rays_o, rays_d = _rays(B=4)
+
+    out = model.render_rays(params, rays_o, rays_d, key=None, train=False)
+
+    # numpy transcription
+    p_c = jax.tree_util.tree_map(np.asarray, params["coarse"])
+    p_f = jax.tree_util.tree_map(np.asarray, params["fine"])
+    ro, rd = np.asarray(rays_o), np.asarray(rays_d)
+    B, n = ro.shape[0], cfg.render.n_samples
+    viewdirs = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+    t = np.linspace(0, 1, n, dtype=np.float32)
+    z = np.broadcast_to(cfg.render.near * (1 - t) + cfg.render.far * t, (B, n)).astype(np.float32)
+
+    def run(p_mlp, zv):
+        pts = ro[:, None, :] + zv[..., None] * rd[:, None, :]
+        ep = _np_encode(pts, 6, 5.0, True, True)
+        ed = _np_encode(np.broadcast_to(viewdirs[:, None, :], pts.shape), 3, 2.0, True, True)
+        raw = _np_mlp(p_mlp, cfg.mlp, ep, ed)
+        return _np_raw2outputs_reference(raw, zv, rd)
+
+    _, w_c = run(p_c, z)
+    z_imp = _np_sample_pdf_det(z, w_c, 4)
+    z_all = np.sort(np.concatenate([z, z_imp], -1), -1)
+    rgb_f, _ = run(p_f, z_all)
+
+    np.testing.assert_allclose(np.asarray(out["rgb_fine"]), rgb_f, rtol=2e-4, atol=2e-5)
