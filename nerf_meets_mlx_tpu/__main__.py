@@ -27,6 +27,7 @@ def main(argv=None):
     t.add_argument("--nan-check", action="store_true", help="enable jax_debug_nans")
     t.add_argument("--profile-dir", default=None, help="write a jax.profiler trace here")
     t.add_argument("--synth-resolution", type=int, default=None, help="procedural scene resolution (synthetic dataset only)")
+    t.add_argument("--precrop-iters", type=int, default=None, help="override the preset's central-crop warmup length")
 
     r = sub.add_parser("render", help="render from a checkpoint (orbit video or test views)")
     r.add_argument("--preset", default="lego_hierarchical", choices=sorted(PRESETS))
@@ -58,6 +59,7 @@ def main(argv=None):
             nan_check=args.nan_check,
             profile_dir=args.profile_dir,
             synth_resolution=args.synth_resolution,
+            precrop_iters=args.precrop_iters,
         )
     elif args.cmd == "render":
         from nerf_meets_mlx_tpu.entrypoints import render_only

@@ -254,8 +254,20 @@ class Trainer:
 
         save_checkpoint(self.log_dir / "ckpt", self.state, self.step)
 
-    def run(self, n_steps: int, log_every: Optional[int] = None) -> Dict[str, float]:
-        """Run n_steps; returns the last metrics dict."""
+    def run(
+        self,
+        n_steps: int,
+        log_every: Optional[int] = None,
+        sync_every: int = 50,
+    ) -> Dict[str, float]:
+        """Run n_steps; returns the last metrics dict.
+
+        sync_every bounds dispatch-ahead: the async host loop can otherwise
+        enqueue hundreds of steps beyond device execution, which makes
+        checkpoint saves (a device_get) stall behind the whole queue —
+        observed on slow-step configs where a wall-clock save never landed
+        before the job's time budget. One scalar host transfer per
+        sync_every steps costs nothing measurable at 19 steps/s."""
         log_every = log_every or self.cfg.train.i_print
         metrics = {}
         target = self.step + n_steps
@@ -264,6 +276,10 @@ class Trainer:
             self.state, metrics = self.step_fn(self.state, *self.step_args, self.key)
             self._host_step += self.steps_per_call
             step = self.step
+            if sync_every and (step // sync_every) > (prev // sync_every):
+                for v in metrics.values():
+                    float(v)
+                    break
             if log_every and (step // log_every) > (prev // log_every):
                 metrics = {k: float(v) for k, v in metrics.items()}
                 now = time.perf_counter()

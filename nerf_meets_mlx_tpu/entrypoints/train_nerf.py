@@ -49,6 +49,7 @@ def train_nerf(
     nan_check: bool = False,
     profile_dir: Optional[str] = None,
     synth_resolution: Optional[int] = None,
+    precrop_iters: Optional[int] = None,
 ) -> dict:
     """Train a NeRF; returns final metrics incl. held-out test PSNR.
 
@@ -69,6 +70,12 @@ def train_nerf(
     if synth_resolution:
         cfg = cfg.replace(
             data=dataclasses.replace(cfg.data, synth_resolution=synth_resolution)
+        )
+    if precrop_iters is not None:
+        # NB: a precrop window longer than the run leaves everything outside
+        # the central crop untrained (uniform fog) — short runs must shrink it
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, precrop_iters=precrop_iters)
         )
 
     # route the hot path through the fused Pallas kernel on real TPUs

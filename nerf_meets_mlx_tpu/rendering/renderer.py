@@ -38,7 +38,7 @@ def _render_image_jit(
     rays_o, rays_d = get_rays(H, W, K, c2w)
     if model.cfg.render.ndc:
         rays_o, rays_d = ndc_rays(
-            H, W, float(K[0, 0]), 1.0, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
+            H, W, K[0, 0], 1.0, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
         )
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)
