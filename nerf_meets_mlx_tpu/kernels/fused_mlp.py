@@ -80,10 +80,19 @@ class FusedMLPSpec:
     # accumulators in VMEM. 512 measured fastest that still fits the 16 MB
     # scoped-vmem budget on v5e (1024 OOMs; 256 costs ~12% more time).
     bwd_block: int = 512
+    # Whether the backward kernel produces dL/dX. In this framework the
+    # kernel inputs are always data (ray origins/dirs are the batch; the
+    # importance z-samples are stop-gradient, factory.py render_rays), so
+    # the model path disables it — dropping the dSp/dSd accumulators, the
+    # input-tap VJPs and the encoding cos-recompute GEMMs from the bwd
+    # kernel. Enabled for tests and for future composition with learned
+    # input encodings (hash grids).
+    compute_dx: bool = True
 
     @staticmethod
     def from_configs(
-        mlp: MLPConfig, pos: EncodingConfig, dir_: EncodingConfig, block: int = 1024
+        mlp: MLPConfig, pos: EncodingConfig, dir_: EncodingConfig, block: int = 1024,
+        compute_dx: bool = True,
     ) -> "FusedMLPSpec":
         assert mlp.use_viewdirs, "fused kernel covers the viewdir NeRF head"
         assert pos.kind == "sinusoidal" and dir_.kind == "sinusoidal"
@@ -107,6 +116,7 @@ class FusedMLPSpec:
             dir_band_mode=dir_.frequency_bands,
             compute_dtype=mlp.compute_dtype,
             block=block,
+            compute_dx=compute_dx,
         )
 
     # encoded widths (unpadded)
@@ -309,8 +319,12 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
     grid-invariant output blocks and write per-block dX."""
     n_w = _n_layer_arrays(spec)
     w_refs = refs[:n_w]
-    dx_ref = refs[n_w]
-    dw_refs = refs[n_w + 1 :]
+    if spec.compute_dx:
+        dx_ref = refs[n_w]
+        dw_refs = refs[n_w + 1 :]
+    else:
+        dx_ref = None
+        dw_refs = refs[n_w:]
     ws = [r[:] for r in w_refs]
     X = x_ref[:]
     dout = dout_ref[:]
@@ -376,8 +390,9 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
     acc(i_Bd, mmTa(X, dhd))
     acc(i_bd, jnp.sum(dhd, axis=0, keepdims=True))
     dfeat = mmbT(dhd, ws[i_Wdf])
-    dSd = mmbT(dhd, ws[i_Wds])
-    dX = mmbT(dhd, ws[i_Bd])
+    if spec.compute_dx:
+        dSd = mmbT(dhd, ws[i_Wds])
+        dX = mmbT(dhd, ws[i_Bd])
 
     # hf = h_last @ Whf + bhf ; feat = hf[:, :W], alpha = hf[:, W]
     dhf = jnp.concatenate(
@@ -388,7 +403,7 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
     acc(i_bhf, jnp.sum(dhf, axis=0, keepdims=True))
     dh = mmbT(dhf, ws[i_Whf]) * (h_last > 0)
 
-    dSp = jnp.zeros_like(Sp)
+    dSp = jnp.zeros_like(Sp) if spec.compute_dx else None
     for j in range(spec.depth - 1, 0, -1):
         ids = layer_idx[j - 1]
         h_prev = hs[j - 1]
@@ -398,8 +413,9 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
             acc(i_Aenc, mmTa(Sp, dh))
             acc(i_Benc, mmTa(X, dh))
             acc(i_bj, jnp.sum(dh, axis=0, keepdims=True))
-            dSp = dSp + mmbT(dh, ws[i_Aenc])
-            dX = dX + mmbT(dh, ws[i_Benc])
+            if spec.compute_dx:
+                dSp = dSp + mmbT(dh, ws[i_Aenc])
+                dX = dX + mmbT(dh, ws[i_Benc])
             dh = mmbT(dh, ws[i_Ah]) * (h_prev > 0)
         else:
             i_Aj, i_bj = ids
@@ -411,14 +427,15 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
     acc(i_A0, mmTa(Sp, dh))
     acc(i_B0, mmTa(X, dh))
     acc(i_b0, jnp.sum(dh, axis=0, keepdims=True))
-    dSp = dSp + mmbT(dh, ws[i_A0])
-    dX = dX + mmbT(dh, ws[i_B0])
+    if spec.compute_dx:
+        dSp = dSp + mmbT(dh, ws[i_A0])
+        dX = dX + mmbT(dh, ws[i_B0])
 
-    # through the encodings: Sp = sin(X Mp + phip)
-    Mp, phip, Md, phid = ws[0], ws[1], ws[2], ws[3]
-    dX = dX + mmbT(dSp * jnp.cos(mm(X, Mp) + phip), Mp)
-    dX = dX + mmbT(dSd * jnp.cos(mm(X, Md) + phid), Md)
-    dx_ref[:] = dX
+        # through the encodings: Sp = sin(X Mp + phip)
+        Mp, phip, Md, phid = ws[0], ws[1], ws[2], ws[3]
+        dX = dX + mmbT(dSp * jnp.cos(mm(X, Mp) + phip), Mp)
+        dX = dX + mmbT(dSd * jnp.cos(mm(X, Md) + phid), Md)
+        dx_ref[:] = dX
 
     # accumulate weight grads (grid-sequential on TPU)
     for k, r in enumerate(dw_refs):
@@ -481,7 +498,15 @@ def _bwd_pallas(spec: FusedMLPSpec, packed: List[jnp.ndarray], x: jnp.ndarray, d
     dw_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in packed[4:]
     ]
-    dx, *dws = pl.pallas_call(
+    dx_spec = (
+        [pl.BlockSpec((blk, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        if spec.compute_dx
+        else []
+    )
+    dx_shape = (
+        [jax.ShapeDtypeStruct((xp.shape[0], 8), jnp.float32)] if spec.compute_dx else []
+    )
+    outs = pl.pallas_call(
         functools.partial(_bwd_kernel, spec),
         grid=grid,
         in_specs=[
@@ -489,14 +514,15 @@ def _bwd_pallas(spec: FusedMLPSpec, packed: List[jnp.ndarray], x: jnp.ndarray, d
             pl.BlockSpec((blk, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *w_specs,
         ],
-        out_specs=[
-            pl.BlockSpec((blk, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *dw_specs,
-        ],
-        out_shape=[jax.ShapeDtypeStruct((xp.shape[0], 8), jnp.float32), *dw_shapes],
+        out_specs=[*dx_spec, *dw_specs],
+        out_shape=[*dx_shape, *dw_shapes],
         interpret=_interpret(),
     )(xp, doutp, *packed)
-    return dx[:n], dws
+    if spec.compute_dx:
+        dx, dws = outs[0][:n], outs[1:]
+    else:
+        dx, dws = jnp.zeros_like(x), outs
+    return dx, dws
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

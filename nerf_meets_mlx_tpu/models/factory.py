@@ -102,8 +102,12 @@ class NeRFModel:
                 pack_params,
             )
 
+            # compute_dx=False: pts/viewdirs are always data here (rays are
+            # the batch; importance z-samples are stop-gradient), so the
+            # backward kernel skips the whole dL/dX path.
             spec = FusedMLPSpec.from_configs(
-                mlp_cfg, self.cfg.pos_encoding, self.cfg.dir_encoding
+                mlp_cfg, self.cfg.pos_encoding, self.cfg.dir_encoding,
+                compute_dx=False,
             )
             x = pack_inputs(pts, viewdirs)
             packed = pack_params(spec, mlp_params)
@@ -128,8 +132,14 @@ class NeRFModel:
         rays_d: jnp.ndarray,     # [B, 3] (unnormalized)
         key: Optional[jax.Array] = None,
         train: bool = True,
+        viewdirs: Optional[jnp.ndarray] = None,  # [B, 3] normalized
     ) -> Dict[str, jnp.ndarray]:
         """Render a batch of rays; coarse + (optional) fine pass.
+
+        ``viewdirs`` overrides the directions fed to the view-dependent head
+        — required under NDC, where rays_o/rays_d are the REPROJECTED rays
+        but the head must see the original world-space directions (reference:
+        viewdirs computed before ndc_rays, render.py:290-307).
 
         Returns a dict with rgb/disp/acc/depth maps for both passes
         ("rgb_map" aliases the finest available, matching the reference's
@@ -137,7 +147,8 @@ class NeRFModel:
         """
         rcfg = self.cfg.render
         B = rays_o.shape[0]
-        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        if viewdirs is None:
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
         if key is None:
             key = jax.random.PRNGKey(0)

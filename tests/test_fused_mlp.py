@@ -120,6 +120,32 @@ def test_pallas_grads_match_twin():
     np.testing.assert_allclose(np.asarray(gxp), np.asarray(gxt), rtol=5e-3, atol=1e-4)
 
 
+def test_pallas_no_dx_param_grads_match():
+    """compute_dx=False (the model path): identical parameter grads, zero dX."""
+    mlp, pos, dir_, spec, params = _setup(block=128)
+    spec_nodx = dataclasses.replace(spec, compute_dx=False)
+    pts, viewdirs = _rand_inputs(B=32, S=8)
+    x = pack_inputs(pts, viewdirs)
+
+    def loss(s):
+        def f(p, x):
+            return jnp.sum(fused_apply(s, pack_params(s, p), x)[:, :4] ** 2)
+        return f
+
+    gp, gx = jax.grad(loss(spec), argnums=(0, 1))(params, x)
+    gp0, gx0 = jax.grad(loss(spec_nodx), argnums=(0, 1))(params, x)
+
+    flat_a, _ = jax.tree_util.tree_flatten_with_path(gp)
+    flat_b, _ = jax.tree_util.tree_flatten_with_path(gp0)
+    for (path, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    assert np.all(np.asarray(gx0) == 0.0)
+    assert np.abs(np.asarray(gx)).max() > 0.0  # sanity: the dX path is real
+
+
 def test_fused_model_query_matches_plain():
     cfg = lego_hierarchical()
     cfg = cfg.replace(
