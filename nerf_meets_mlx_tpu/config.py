@@ -165,10 +165,15 @@ class DataConfig:
     """Dataset settings (reference: config_parser.py:51-68,
     dataset/dataloader.py)."""
 
-    dataset_type: str = "blender"   # blender | synthetic | image
+    dataset_type: str = "blender"   # blender | llff | synthetic | image
     data_dir: str = ""
     half_res: bool = False
     testskip: int = 8
+    # LLFF forward-facing captures (reference has only the flags,
+    # config_parser.py:58-71 — no loader): image downsample factor and the
+    # every-k-th-image test split
+    llff_factor: int = 8
+    llffhold: int = 8
     # procedural synthetic scene (for tests/benchmarks without downloads)
     synth_n_train: int = 20
     synth_n_val: int = 4
@@ -328,6 +333,21 @@ def lego_hierarchical() -> ExperimentConfig:
     return _nerf_base(n_samples=64, n_importance=128)
 
 
+def llff() -> ExperimentConfig:
+    """LLFF forward-facing capture (fern-style): NDC rays (near=0, far=1 in
+    NDC space), black background, no precrop, 64+64 samples/ray — the
+    standard NeRF-LLFF recipe the reference exposes flags for but never
+    implemented (config_parser.py:58-71)."""
+    cfg = _nerf_base(
+        n_samples=64, n_importance=64, ndc=True, near=0.0, far=1.0,
+        white_bkgd=False,
+    )
+    return cfg.replace(
+        train=dataclasses.replace(cfg.train, precrop_iters=0),
+        data=DataConfig(dataset_type="llff"),
+    )
+
+
 def lego_full() -> ExperimentConfig:
     """Config 4: full 800x800, 200k iters with lr decay."""
     cfg = _nerf_base(n_samples=64, n_importance=128)
@@ -360,4 +380,5 @@ PRESETS = {
     "lego_hierarchical": lego_hierarchical,
     "lego_full": lego_full,
     "lego_ingp": lego_ingp,
+    "llff": llff,
 }

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from nerf_meets_mlx_tpu.cameras.rays import get_rays_for_pixels
+from nerf_meets_mlx_tpu.cameras.rays import get_rays_for_pixels, ndc_rays
 from nerf_meets_mlx_tpu.config import ExperimentConfig
 from nerf_meets_mlx_tpu.engine.train_state import (
     TrainState,
@@ -85,8 +85,9 @@ def nerf_loss_fn(
     rays_d: jnp.ndarray,
     target: jnp.ndarray,
     key: jax.Array,
+    viewdirs: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    out = model.render_rays(params, rays_o, rays_d, key, train=True)
+    out = model.render_rays(params, rays_o, rays_d, key, train=True, viewdirs=viewdirs)
     loss_c = jnp.mean((out["rgb_coarse"] - target) ** 2)
     loss = loss_c
     aux = {"loss_coarse": loss_c}
@@ -130,9 +131,15 @@ def make_nerf_train_step(
         rays_o, rays_d, target, k_render = sample_train_rays(
             cfg, state.step, images, poses, K, H, W, cfg.train.n_rand, key
         )
+        viewdirs = None
+        if cfg.render.ndc:
+            # LLFF forward-facing: train in NDC space, but the view head
+            # sees pre-NDC world directions (reference: render.py:290-317)
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            rays_o, rays_d = ndc_rays(H, W, float(K[0, 0]), 1.0, rays_o, rays_d)
 
         def loss_fn(p):
-            return nerf_loss_fn(model, p, rays_o, rays_d, target, k_render)
+            return nerf_loss_fn(model, p, rays_o, rays_d, target, k_render, viewdirs)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

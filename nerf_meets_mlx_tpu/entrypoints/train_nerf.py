@@ -30,6 +30,10 @@ def _load_dataset(cfg: ExperimentConfig):
             d.data_dir, half_res=d.half_res, testskip=d.testskip,
             white_bkgd=cfg.render.white_bkgd,
         )
+    if d.dataset_type == "llff":
+        from nerf_meets_mlx_tpu.datasets.llff import load_llff_data
+
+        return load_llff_data(d.data_dir, factor=d.llff_factor, llffhold=d.llffhold)
     if d.dataset_type == "synthetic":
         return make_synthetic_scene(
             d.synth_n_train, d.synth_n_val, d.synth_n_test, d.synth_resolution,
@@ -89,6 +93,12 @@ def train_nerf(
         cfg = cfg.replace(use_fused_kernel=True)
 
     ds = _load_dataset(cfg)
+    # non-NDC real captures: sampling bounds come from the capture's depth
+    # bounds, not the config (NDC space keeps the preset's near=0/far=1)
+    if not cfg.render.ndc and hasattr(ds, "bounds"):
+        cfg = cfg.replace(
+            render=dataclasses.replace(cfg.render, near=ds.near, far=ds.far)
+        )
     model = create_nerf(cfg)
     images = jax.device_put(jnp.asarray(ds.images[ds.i_train]))
     poses = jax.device_put(jnp.asarray(ds.poses[ds.i_train, :3, :4]))

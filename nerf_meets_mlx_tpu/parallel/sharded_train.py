@@ -57,15 +57,24 @@ def make_sharded_nerf_train_step(
         rays_o, rays_d, target, k_render = sample_train_rays(
             cfg, state.step, images, poses, K, H, W, n_rand, key
         )
+        viewdirs = None
+        if cfg.render.ndc:
+            import jax.numpy as jnp
+            from nerf_meets_mlx_tpu.cameras.rays import ndc_rays
+
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            rays_o, rays_d = ndc_rays(H, W, float(K[0, 0]), 1.0, rays_o, rays_d)
 
         # shard the ray batch across chips; everything downstream
         # (encode/MLP/composite/loss) partitions along rays
         rays_o = jax.lax.with_sharding_constraint(rays_o, ray_shard)
         rays_d = jax.lax.with_sharding_constraint(rays_d, ray_shard)
         target = jax.lax.with_sharding_constraint(target, ray_shard)
+        if viewdirs is not None:
+            viewdirs = jax.lax.with_sharding_constraint(viewdirs, ray_shard)
 
         def loss_fn(p):
-            return nerf_loss_fn(model, p, rays_o, rays_d, target, k_render)
+            return nerf_loss_fn(model, p, rays_o, rays_d, target, k_render, viewdirs)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         # grads of replicated params over sharded rays -> GSPMD all-reduce

@@ -36,21 +36,24 @@ def _render_image_jit(
     chunk: int,
 ) -> Dict[str, jnp.ndarray]:
     rays_o, rays_d = get_rays(H, W, K, c2w)
-    if model.cfg.render.ndc:
-        rays_o, rays_d = ndc_rays(
-            H, W, K[0, 0], 1.0, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
-        )
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)
+    # view head always sees pre-NDC world directions (render.py:290-307)
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if model.cfg.render.ndc:
+        rays_o, rays_d = ndc_rays(H, W, K[0, 0], 1.0, rays_o, rays_d)
 
     n = rays_o.shape[0]
     n_pad = (-n) % chunk
     rays_o = jnp.concatenate([rays_o, jnp.zeros((n_pad, 3), rays_o.dtype)], axis=0)
     rays_d = jnp.concatenate([rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], axis=0)
+    viewdirs = jnp.concatenate(
+        [viewdirs, jnp.ones((n_pad, 3), viewdirs.dtype)], axis=0
+    )
 
     def body(chunk_rays):
-        ro, rd = chunk_rays
-        out = model.render_rays(params, ro, rd, key=None, train=False)
+        ro, rd, vd = chunk_rays
+        out = model.render_rays(params, ro, rd, key=None, train=False, viewdirs=vd)
         return {
             "rgb_map": out["rgb_map"],
             "disp_map": out["disp_map"],
@@ -63,6 +66,7 @@ def _render_image_jit(
         (
             rays_o.reshape(-1, chunk, 3),
             rays_d.reshape(-1, chunk, 3),
+            viewdirs.reshape(-1, chunk, 3),
         ),
     )
     out = {k: v.reshape(-1, *v.shape[2:])[:n] for k, v in chunked.items()}

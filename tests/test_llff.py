@@ -1,0 +1,160 @@
+"""LLFF loader + NDC training path.
+
+The reference ships only flags for LLFF (config_parser.py:58-71) with no
+loader; these tests cover the real capability: poses_bounds.npy parsing,
+axis conventions, bound rescaling, splits, the spiral path, and the
+NDC train/render path (viewdirs must be the PRE-NDC world directions).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_meets_mlx_tpu.config import PRESETS
+from nerf_meets_mlx_tpu.datasets.llff import (
+    average_pose,
+    load_llff_data,
+    recenter_poses,
+    spiral_path,
+)
+
+
+def _write_fake_llff(root, n=10, H=24, W=32, focal=30.0):
+    """A forward-facing ring of cameras at z ~ 4 looking down -z."""
+    import imageio.v2 as imageio
+
+    img_dir = root / "images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n):
+        # NeRF-convention c2w: identity rotation, slight x/y offsets
+        c2w = np.eye(4, dtype=np.float64)[:3]
+        c2w[0, 3] = 0.2 * np.cos(2 * np.pi * i / n)
+        c2w[1, 3] = 0.2 * np.sin(2 * np.pi * i / n)
+        c2w[2, 3] = 4.0 + 0.05 * i
+        # convert NeRF [right, up, back] -> LLFF [down, right, back] storage
+        llff = np.concatenate(
+            [-c2w[:, 1:2], c2w[:, 0:1], c2w[:, 2:4]], axis=1
+        )  # [3, 4]
+        hwf = np.array([[H], [W], [focal]], np.float64)
+        rows.append(np.concatenate([np.concatenate([llff, hwf], 1).ravel(), [2.0, 8.0]]))
+        img = (rng.uniform(size=(H, W, 3)) * 255).astype(np.uint8)
+        imageio.imwrite(img_dir / f"img_{i:03d}.png", img)
+    np.save(root / "poses_bounds.npy", np.stack(rows))
+
+
+@pytest.fixture()
+def llff_dir(tmp_path):
+    _write_fake_llff(tmp_path)
+    return tmp_path
+
+
+def test_load_llff_shapes_and_splits(llff_dir):
+    ds = load_llff_data(llff_dir, factor=1, llffhold=4)
+    assert ds.images.shape == (10, 24, 32, 3)
+    assert ds.images.dtype == np.float32
+    assert ds.poses.shape == (10, 4, 4)
+    np.testing.assert_array_equal(ds.i_test, [0, 4, 8])
+    np.testing.assert_array_equal(ds.i_val, ds.i_test)
+    assert sorted(list(ds.i_train) + list(ds.i_test)) == list(range(10))
+    # bounds rescaled so min*0.75 == 1
+    assert np.isclose(ds.bounds.min() * 0.75, 1.0)
+    assert ds.near == pytest.approx(ds.bounds.min() * 0.9)
+
+
+def test_load_llff_axis_roundtrip(llff_dir):
+    """LLFF->NeRF axis swap recovers the camera geometry we wrote: with
+    recentering off (identity rotations), rotations stay identity."""
+    ds = load_llff_data(llff_dir, factor=1, recenter=False)
+    np.testing.assert_allclose(ds.poses[0, :3, :3], np.eye(3), atol=1e-6)
+    # translation z scaled by 1/(2.0*0.75)
+    np.testing.assert_allclose(ds.poses[0, 2, 3], 4.0 / 1.5, rtol=1e-5)
+
+
+def test_load_llff_downsample(llff_dir):
+    ds = load_llff_data(llff_dir, factor=2, llffhold=4)
+    assert ds.images.shape == (10, 12, 16, 3)
+    # focal rescaled by the same factor
+    assert ds.focal == pytest.approx(15.0, rel=1e-5)
+
+
+def test_recenter_makes_average_identity(llff_dir):
+    ds = load_llff_data(llff_dir, factor=1)
+    avg = average_pose(ds.poses)
+    np.testing.assert_allclose(avg[:3, :3], np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(avg[:3, 3], 0.0, atol=1e-5)
+
+
+def test_spiral_path_properties(llff_dir):
+    ds = load_llff_data(llff_dir, factor=1, n_render_poses=30)
+    assert ds.render_poses.shape == (30, 4, 4)
+    # valid rotations: orthonormal columns
+    R = ds.render_poses[:, :3, :3]
+    eye = np.einsum("nij,nik->njk", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (30, 1, 1)), atol=1e-5)
+
+
+def test_llff_preset_ndc_train_step(llff_dir):
+    """One NDC train step on the llff preset: finite loss, params update."""
+    from nerf_meets_mlx_tpu.engine.train_state import create_train_state
+    from nerf_meets_mlx_tpu.engine.trainer import make_nerf_train_step
+    from nerf_meets_mlx_tpu.models import create_nerf
+
+    cfg = PRESETS["llff"]()
+    cfg = cfg.replace(
+        mlp=dataclasses.replace(cfg.mlp, net_depth=2, net_width=32, skips=()),
+        mlp_fine=dataclasses.replace(cfg.mlp, net_depth=2, net_width=32, skips=()),
+        render=dataclasses.replace(cfg.render, n_samples=8, n_importance=8),
+        train=dataclasses.replace(cfg.train, n_rand=16),
+    )
+    assert cfg.render.ndc and cfg.render.near == 0.0 and cfg.render.far == 1.0
+    ds = load_llff_data(llff_dir, factor=1)
+    model = create_nerf(cfg)
+    state = create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train)
+    step = make_nerf_train_step(model, ds.H, ds.W, ds.focal)
+    images = jnp.asarray(ds.images[ds.i_train])
+    poses = jnp.asarray(ds.poses[ds.i_train, :3, :4])
+    p_before = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, aux = step(state, images, poses, jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["loss"]))
+    assert not np.allclose(p_before, jax.tree_util.tree_leaves(state.params)[0])
+
+
+def test_ndc_render_uses_pre_ndc_viewdirs(llff_dir):
+    """render_image under NDC must feed the view head pre-NDC directions:
+    rendering with ndc on vs a manual pipeline with pre-NDC viewdirs agree."""
+    from nerf_meets_mlx_tpu.cameras.rays import get_rays, ndc_rays
+    from nerf_meets_mlx_tpu.models import create_nerf
+    from nerf_meets_mlx_tpu.rendering import render_image
+
+    cfg = PRESETS["llff"]()
+    cfg = cfg.replace(
+        mlp=dataclasses.replace(cfg.mlp, net_depth=2, net_width=32, skips=()),
+        mlp_fine=None,
+        render=dataclasses.replace(cfg.render, n_samples=8, n_importance=0),
+    )
+    ds = load_llff_data(llff_dir, factor=1)
+    model = create_nerf(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    c2w = ds.poses[0, :3, :4]
+
+    out = render_image(model, params, ds.H, ds.W, ds.K, c2w, chunk=ds.H * ds.W)
+
+    rays_o, rays_d = get_rays(ds.H, ds.W, ds.K, c2w)
+    rays_o, rays_d = rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
+    vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    no, nd = ndc_rays(ds.H, ds.W, ds.K[0, 0], 1.0, rays_o, rays_d)
+    ref = model.render_rays(params, no, nd, key=None, train=False, viewdirs=vd)
+    np.testing.assert_allclose(
+        np.asarray(out["rgb_map"]).reshape(-1, 3),
+        np.asarray(ref["rgb_map"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    # and it must DIFFER from the wrong (post-NDC) viewdirs — i.e. the test
+    # has teeth: the view head actually sees the directions we pass
+    wrong = model.render_rays(params, no, nd, key=None, train=False)
+    assert np.abs(np.asarray(ref["rgb_map"]) - np.asarray(wrong["rgb_map"])).max() > 1e-4
