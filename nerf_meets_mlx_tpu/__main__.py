@@ -28,6 +28,8 @@ def main(argv=None):
     t.add_argument("--profile-dir", default=None, help="write a jax.profiler trace here")
     t.add_argument("--synth-resolution", type=int, default=None, help="procedural scene resolution (synthetic dataset only)")
     t.add_argument("--precrop-iters", type=int, default=None, help="override the preset's central-crop warmup length")
+    t.add_argument("--viewer-port", type=int, default=None, help="serve the live web viewer on this port")
+    t.add_argument("--llff-factor", type=int, default=None, help="LLFF image downsample factor (llff preset)")
 
     r = sub.add_parser("render", help="render from a checkpoint (orbit video or test views)")
     r.add_argument("--preset", default="lego_hierarchical", choices=sorted(PRESETS))
@@ -60,6 +62,8 @@ def main(argv=None):
             profile_dir=args.profile_dir,
             synth_resolution=args.synth_resolution,
             precrop_iters=args.precrop_iters,
+            viewer_port=args.viewer_port,
+            llff_factor=args.llff_factor,
         )
     elif args.cmd == "render":
         from nerf_meets_mlx_tpu.entrypoints import render_only

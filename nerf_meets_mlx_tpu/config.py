@@ -153,6 +153,7 @@ class TrainConfig:
     seed: int = 0
     # logging / io cadences (reference flags config_parser.py:73-77)
     i_print: int = 100
+    i_img: int = 500             # live-viewer render cadence (--i_img)
     i_weights: int = 10_000
     i_testset: int = 50_000
     i_video: int = 50_000
@@ -279,7 +280,20 @@ def config_from_text(path: str | Path, base: Optional[ExperimentConfig] = None) 
         half_res=bool(kv.get("half_res", cfg.data.half_res)),
         testskip=int(kv.get("testskip", cfg.data.testskip)),
     )
-    return cfg.replace(render=render, train=train, data=data)
+    # --netdepth/--netwidth(_fine) (reference config_parser.py:13-16)
+    mlp = dataclasses.replace(
+        cfg.mlp,
+        net_depth=int(kv.get("netdepth", cfg.mlp.net_depth)),
+        net_width=int(kv.get("netwidth", cfg.mlp.net_width)),
+    )
+    mlp_fine = cfg.mlp_fine
+    if mlp_fine is not None:
+        mlp_fine = dataclasses.replace(
+            mlp_fine,
+            net_depth=int(kv.get("netdepth_fine", mlp_fine.net_depth)),
+            net_width=int(kv.get("netwidth_fine", mlp_fine.net_width)),
+        )
+    return cfg.replace(render=render, train=train, data=data, mlp=mlp, mlp_fine=mlp_fine)
 
 
 # ---------------------------------------------------------------------------

@@ -54,6 +54,8 @@ def train_nerf(
     profile_dir: Optional[str] = None,
     synth_resolution: Optional[int] = None,
     precrop_iters: Optional[int] = None,
+    viewer_port: Optional[int] = None,
+    llff_factor: Optional[int] = None,
 ) -> dict:
     """Train a NeRF; returns final metrics incl. held-out test PSNR.
 
@@ -67,6 +69,10 @@ def train_nerf(
         cfg = config_from_text(config_txt, cfg)
     if data_dir:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, data_dir=data_dir))
+    elif cfg.data.dataset_type == "llff":
+        # NDC assumes forward-facing captures; the procedural synthetic
+        # fallback is a 360 orbit scene and would silently mistrain
+        raise ValueError("the llff preset requires --data-dir (a capture with poses_bounds.npy)")
     elif not cfg.data.data_dir:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, dataset_type="synthetic"))
     if max_iters:
@@ -75,6 +81,8 @@ def train_nerf(
         cfg = cfg.replace(
             data=dataclasses.replace(cfg.data, synth_resolution=synth_resolution)
         )
+    if llff_factor is not None:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, llff_factor=llff_factor))
     if precrop_iters is not None:
         # NB: a precrop window longer than the run leaves everything outside
         # the central crop untrained (uniform fog) — short runs must shrink it
@@ -120,24 +128,56 @@ def train_nerf(
         with trace(profile_dir):
             trainer.run(10)
 
-    while trainer.step < tcfg.max_iters:
-        n = min(tcfg.i_testset or tcfg.max_iters, tcfg.max_iters - trainer.step)
-        metrics = trainer.run(n)
-        # periodic held-out render (reference: every 50k, __test_nerf.py:308-322)
-        test_i = int(ds.i_test[len(ds.i_test) // 2])
-        out = render_image(
-            model, trainer.state.params, ds.H, ds.W, ds.K, ds.poses[test_i, :3, :4]
-        )
-        test_psnr = float(psnr_fn(out["rgb_map"], jnp.asarray(ds.images[test_i])))
-        trainer.logger.log(step=trainer.step, test_psnr=test_psnr)
-        try:
-            import imageio.v2 as imageio
+    # live web viewer for volume training (the reference's viser GUI only
+    # served the 2-D image task, __viser_image_learning.py:59-124): pushes a
+    # quarter-res held-out render + GT every i_img steps, honors the GUI
+    # pause toggle between step chunks
+    viewer = None
+    view_i = int(ds.i_test[len(ds.i_test) // 2]) if len(ds.i_test) else 0
+    if viewer_port is not None:
+        from nerf_meets_mlx_tpu.tools.viewer import LiveViewer
 
-            imageio.imwrite(out_dir / f"render_{trainer.step:08d}.png", to8b(out["rgb_map"]))
-        except Exception:
-            pass
+        viewer = LiveViewer(port=viewer_port)
+        sub = max(1, min(ds.H, ds.W) // 128)
+        vH, vW = ds.H // sub, ds.W // sub
+        vK = ds.K / sub
+        vK[2, 2] = 1.0
+        viewer.update("gt", ds.images[view_i][::sub, ::sub])
+        print(f"[viewer] http://localhost:{viewer.port}")
+
+    while trainer.step < tcfg.max_iters:
+        chunk = tcfg.i_img if viewer else (tcfg.i_testset or tcfg.max_iters)
+        n = min(chunk, tcfg.max_iters - trainer.step)
+        prev = trainer.step
+        metrics = trainer.run(n)
+        if viewer is not None:
+            out_v = render_image(
+                model, trainer.state.params, vH, vW, vK, ds.poses[view_i, :3, :4]
+            )
+            viewer.update("pred", np.asarray(out_v["rgb_map"]))
+            viewer.set_state(step=trainer.step, **metrics)
+            viewer.wait_if_paused()
+        crossed_testset = (tcfg.i_testset or 0) and (
+            trainer.step // tcfg.i_testset > prev // tcfg.i_testset
+        )
+        if not viewer or crossed_testset or trainer.step >= tcfg.max_iters:
+            # periodic held-out render (reference: every 50k, __test_nerf.py:308-322)
+            test_i = view_i
+            out = render_image(
+                model, trainer.state.params, ds.H, ds.W, ds.K, ds.poses[test_i, :3, :4]
+            )
+            test_psnr = float(psnr_fn(out["rgb_map"], jnp.asarray(ds.images[test_i])))
+            trainer.logger.log(step=trainer.step, test_psnr=test_psnr)
+            try:
+                import imageio.v2 as imageio
+
+                imageio.imwrite(out_dir / f"render_{trainer.step:08d}.png", to8b(out["rgb_map"]))
+            except Exception:
+                pass
 
     trainer.save()
+    if viewer is not None:
+        viewer.close()
 
     # final test-set PSNR
     psnrs = []

@@ -52,6 +52,56 @@ def test_precrop_samples_center_only():
     assert px.min() < 8 or px.max() >= 24  # full-frame sampling resumes
 
 
+def test_volume_training_viewer_wiring(tmp_path, monkeypatch):
+    """train_nerf with viewer_port pushes GT + periodic pred renders and
+    state to the live viewer (the reference's viser GUI served only the 2-D
+    task, __viser_image_learning.py:59-124)."""
+    from nerf_meets_mlx_tpu.tools import viewer as viewer_mod
+
+    calls = {"frames": {}, "state": [], "closed": False}
+
+    class StubViewer:
+        def __init__(self, port=0, host="0.0.0.0"):
+            self.port = 12345
+
+        def update(self, name, img):
+            calls["frames"][name] = np.asarray(img)
+
+        def set_state(self, **kv):
+            calls["state"].append(kv)
+
+        def wait_if_paused(self, timeout=0.25):
+            pass
+
+        def close(self):
+            calls["closed"] = True
+
+    monkeypatch.setattr(viewer_mod, "LiveViewer", StubViewer)
+
+    cfg_txt = tmp_path / "tiny.txt"
+    cfg_txt.write_text(
+        "N_samples = 4\nN_importance = 4\nN_rand = 32\n"
+        "netdepth = 2\nnetwidth = 16\nnetdepth_fine = 2\nnetwidth_fine = 16\n"
+        "precrop_iters = 0\n"
+    )
+    from nerf_meets_mlx_tpu.entrypoints import train_nerf
+
+    out = train_nerf(
+        preset="lego_hierarchical",
+        config_txt=str(cfg_txt),
+        max_iters=4,
+        log_dir=tmp_path / "logs",
+        render_video=False,
+        synth_resolution=16,
+        viewer_port=0,
+    )
+    assert "gt" in calls["frames"] and "pred" in calls["frames"]
+    assert calls["frames"]["gt"].shape == calls["frames"]["pred"].shape
+    assert calls["state"] and calls["state"][-1]["step"] == 4
+    assert calls["closed"]
+    assert np.isfinite(out["test_psnr_mean"])
+
+
 def test_render_only_entrypoint(tmp_path, monkeypatch):
     """render_only restores a checkpoint and scores test views."""
     import dataclasses
