@@ -71,6 +71,40 @@ def get_rays_for_pixels(K, c2w, px, py):
     return rays_o, rays_d
 
 
+def intersect_aabb(rays_o, rays_d, box_min, box_max, near, far, eps: float = 1e-6):
+    """Per-ray slab intersection with a scene AABB: tightened [near, far].
+
+    The TPU-friendly empty-space-skipping primitive: instead of pruning
+    samples (dynamic shapes), the SAME static sample count is concentrated
+    into the segment of each ray that can contain geometry. Pure VPU math,
+    fuses into the train step. Rays that miss the box keep the original
+    [near, far] (they composite to background regardless).
+
+    Args:
+      rays_o, rays_d: [B, 3] (directions need not be normalized).
+      box_min, box_max: length-3 box corners.
+      near, far: scalars or [B, 1] — the untightened bounds.
+
+    Returns:
+      near_t, far_t: [B, 1] with near <= near_t <= far_t <= far.
+    """
+    box_min = jnp.asarray(box_min, jnp.float32)
+    box_max = jnp.asarray(box_max, jnp.float32)
+    # guard axis-parallel rays: huge inv keeps the slab test correct
+    d = jnp.where(jnp.abs(rays_d) < eps, jnp.where(rays_d < 0, -eps, eps), rays_d)
+    inv = 1.0 / d
+    t0 = (box_min - rays_o) * inv
+    t1 = (box_max - rays_o) * inv
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1, keepdims=True)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1, keepdims=True)
+    near = jnp.broadcast_to(jnp.asarray(near, jnp.float32), tmin.shape)
+    far = jnp.broadcast_to(jnp.asarray(far, jnp.float32), tmax.shape)
+    hit = tmax > jnp.maximum(tmin, 0.0)
+    near_t = jnp.where(hit, jnp.clip(tmin, near, far), near)
+    far_t = jnp.where(hit, jnp.clip(tmax, near, far), far)
+    return near_t, jnp.maximum(far_t, near_t + eps)
+
+
 def ndc_rays(H: int, W: int, focal: float, near: float, rays_o, rays_d):
     """Reproject rays into NDC space (NeRF appendix C, eqs. 25/26).
 

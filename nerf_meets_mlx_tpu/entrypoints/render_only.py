@@ -21,7 +21,7 @@ from nerf_meets_mlx_tpu.engine.checkpoint import latest_step, restore_checkpoint
 from nerf_meets_mlx_tpu.engine.train_state import create_train_state
 from nerf_meets_mlx_tpu.entrypoints.train_nerf import _load_dataset
 from nerf_meets_mlx_tpu.models import create_nerf
-from nerf_meets_mlx_tpu.ops import psnr as psnr_fn
+from nerf_meets_mlx_tpu.ops import psnr as psnr_fn, ssim as ssim_fn
 from nerf_meets_mlx_tpu.rendering import render_image, render_orbit
 from nerf_meets_mlx_tpu.utils.video import to8b, write_video
 
@@ -61,12 +61,15 @@ def render_only(
     if render_test:
         import imageio.v2 as imageio
 
-        psnrs = []
+        psnrs, ssims = [], []
         for i in ds.i_test:
             out = render_image(model, state.params, ds.H, ds.W, ds.K, ds.poses[i, :3, :4])
-            psnrs.append(float(psnr_fn(out["rgb_map"], jnp.asarray(ds.images[i]))))
+            gt = jnp.asarray(ds.images[i])
+            psnrs.append(float(psnr_fn(out["rgb_map"], gt)))
+            ssims.append(float(ssim_fn(out["rgb_map"], gt)))
             imageio.imwrite(out_path / f"test_{i:03d}.png", to8b(out["rgb_map"]))
         result["test_psnr_mean"] = float(np.mean(psnrs))
+        result["test_ssim_mean"] = float(np.mean(ssims))
         result["test_psnrs"] = psnrs
     else:
         poses = ds.render_poses[:n_orbit]

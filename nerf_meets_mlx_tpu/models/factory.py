@@ -156,6 +156,14 @@ class NeRFModel:
 
         near = jnp.full((B, 1), rcfg.near, dtype=jnp.float32)
         far = jnp.full((B, 1), rcfg.far, dtype=jnp.float32)
+        if rcfg.aabb is not None:
+            # empty-space skipping: concentrate the static sample budget in
+            # the ray segment intersecting the scene box (config.py aabb)
+            from nerf_meets_mlx_tpu.cameras.rays import intersect_aabb
+
+            near, far = intersect_aabb(
+                rays_o, rays_d, rcfg.aabb[:3], rcfg.aabb[3:], near, far
+            )
         sample_fn = sample_z_lindisp if rcfg.lindisp else sample_z_uniform
         z_vals = sample_fn(near, far, rcfg.n_samples)  # [B, S]
         if train and rcfg.perturb > 0.0:

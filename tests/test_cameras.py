@@ -108,3 +108,47 @@ def test_ndc_rays_bounds():
     assert np.isfinite(o_ndc).all() and np.isfinite(d_ndc).all()
     # endpoint o+d has z == 1 (NDC far plane property)
     np.testing.assert_allclose(o_ndc[:, 2] + d_ndc[:, 2], 1.0, atol=1e-5)
+
+
+def test_intersect_aabb_basic():
+    """Slab test: hits tighten [near, far]; misses keep the originals."""
+    from nerf_meets_mlx_tpu.cameras.rays import intersect_aabb
+    import jax.numpy as jnp
+
+    rays_o = jnp.array(
+        [
+            [0.0, 0.0, 4.0],   # straight through the box
+            [3.0, 0.0, 4.0],   # offset: misses a unit box
+            [0.0, 0.0, 4.0],   # axis-parallel in x/y (zero components)
+        ]
+    )
+    rays_d = jnp.array(
+        [
+            [0.0, 0.0, -1.0],
+            [0.0, 0.0, -1.0],
+            [0.0, 0.0, -2.0],  # unnormalized
+        ]
+    )
+    near, far = intersect_aabb(rays_o, rays_d, [-1.0] * 3, [1.0] * 3, 2.0, 6.0)
+    near, far = np.asarray(near)[:, 0], np.asarray(far)[:, 0]
+    # ray 0: box z-slab [-1, 1] -> t in [3, 5]
+    np.testing.assert_allclose(near[0], 3.0, atol=1e-5)
+    np.testing.assert_allclose(far[0], 5.0, atol=1e-5)
+    # ray 1: miss -> untightened
+    np.testing.assert_allclose([near[1], far[1]], [2.0, 6.0], atol=1e-6)
+    # ray 2: unnormalized d scales t by 1/2
+    np.testing.assert_allclose(near[2], 1.5 + 0.5, atol=1e-5)  # clipped to near=2
+    np.testing.assert_allclose(far[2], 2.5, atol=1e-5)
+    assert (far >= near).all()
+
+
+def test_intersect_aabb_inside_box():
+    """Origin inside the box: near stays at the configured near (>=0 clip)."""
+    from nerf_meets_mlx_tpu.cameras.rays import intersect_aabb
+    import jax.numpy as jnp
+
+    rays_o = jnp.zeros((1, 3))
+    rays_d = jnp.array([[0.0, 0.0, -1.0]])
+    near, far = intersect_aabb(rays_o, rays_d, [-1.0] * 3, [1.0] * 3, 0.1, 6.0)
+    np.testing.assert_allclose(np.asarray(near)[0, 0], 0.1, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(far)[0, 0], 1.0, atol=1e-5)

@@ -141,4 +141,5 @@ def test_render_only_entrypoint(tmp_path, monkeypatch):
     )
     assert out["step"] == 7
     assert np.isfinite(out["test_psnr_mean"])
+    assert np.isfinite(out["test_ssim_mean"]) and -1.0 <= out["test_ssim_mean"] <= 1.0
     assert (tmp_path / "out" / "test_003.png").exists()

@@ -180,3 +180,38 @@ def test_image2d_model():
     x = jax.random.uniform(jax.random.PRNGKey(1), (100, 1, 2))
     out = model.query(params, "coarse", x, None)
     assert out.shape == (100, 1, 3)
+
+
+def test_aabb_huge_box_matches_no_aabb():
+    """An AABB enclosing the whole [near, far] frustum must not change the
+    render; a tight AABB must (samples concentrate inside the box)."""
+    import dataclasses
+
+    from nerf_meets_mlx_tpu.config import lego_hierarchical
+
+    cfg = lego_hierarchical()
+    cfg = cfg.replace(
+        mlp=dataclasses.replace(cfg.mlp, net_depth=2, net_width=32, skips=()),
+        mlp_fine=None,
+        render=dataclasses.replace(cfg.render, n_samples=16, n_importance=0),
+    )
+    big = cfg.replace(render=dataclasses.replace(cfg.render, n_samples=16,
+                                                 n_importance=0,
+                                                 aabb=(-100.0,) * 3 + (100.0,) * 3))
+    tight = cfg.replace(render=dataclasses.replace(cfg.render, n_samples=16,
+                                                   n_importance=0,
+                                                   aabb=(-1.0,) * 3 + (1.0,) * 3))
+    m0, mb, mt = create_nerf(cfg), create_nerf(big), create_nerf(tight)
+    params = m0.init(jax.random.PRNGKey(0))
+    rays_o = jnp.array([[0.0, 0.0, 4.0]] * 8)
+    rays_d = jnp.array([[0.05, -0.02, -1.0]] * 8)
+    a = m0.render_rays(params, rays_o, rays_d, train=False)
+    b = mb.render_rays(params, rays_o, rays_d, train=False)
+    c = mt.render_rays(params, rays_o, rays_d, train=False)
+    np.testing.assert_allclose(
+        np.asarray(a["rgb_map"]), np.asarray(b["rgb_map"]), rtol=1e-5, atol=1e-6
+    )
+    # tight box: all z_vals inside the slab span [3, 5]
+    z = np.asarray(c["z_vals"])
+    assert z.min() >= 3.0 - 1e-4 and z.max() <= 5.0 + 1e-4
+    assert np.asarray(a["z_vals"]).min() < 2.5  # untightened spans from near=2
