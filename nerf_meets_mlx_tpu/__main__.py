@@ -30,6 +30,7 @@ def main(argv=None):
     t.add_argument("--precrop-iters", type=int, default=None, help="override the preset's central-crop warmup length")
     t.add_argument("--viewer-port", type=int, default=None, help="serve the live web viewer on this port")
     t.add_argument("--llff-factor", type=int, default=None, help="LLFF image downsample factor (llff preset)")
+    t.add_argument("--spherify", action="store_true", help="LLFF 360 capture: spherical re-framing instead of NDC")
 
     r = sub.add_parser("render", help="render from a checkpoint (orbit video or test views)")
     r.add_argument("--preset", default="lego_hierarchical", choices=sorted(PRESETS))
@@ -64,6 +65,7 @@ def main(argv=None):
             precrop_iters=args.precrop_iters,
             viewer_port=args.viewer_port,
             llff_factor=args.llff_factor,
+            spherify=args.spherify,
         )
     elif args.cmd == "render":
         from nerf_meets_mlx_tpu.entrypoints import render_only

@@ -182,6 +182,10 @@ class DataConfig:
     # every-k-th-image test split
     llff_factor: int = 8
     llffhold: int = 8
+    # 360° inward-facing captures: re-frame about the view-axes' closest
+    # point + circular render path (reference flag config_parser.py:62-63,
+    # no implementation behind it). Implies ndc=False.
+    spherify: bool = False
     # procedural synthetic scene (for tests/benchmarks without downloads)
     synth_n_train: int = 20
     synth_n_val: int = 4

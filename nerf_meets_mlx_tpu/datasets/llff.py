@@ -124,6 +124,70 @@ def spiral_path(
     return np.stack(out).astype(np.float32)
 
 
+def _closest_point_to_axes(origins: np.ndarray, axes: np.ndarray) -> np.ndarray:
+    """Least-squares point minimizing summed squared distance to the lines
+    {o_i + t d_i}: solve (Σ (I − d dᵀ)) p = Σ (I − d dᵀ) o."""
+    d = axes / np.linalg.norm(axes, axis=-1, keepdims=True)
+    P = np.eye(3) - d[:, :, None] * d[:, None, :]  # [N, 3, 3] projectors
+    A = P.sum(0)
+    b = (P @ origins[:, :, None]).sum(0)[:, 0]
+    return np.linalg.solve(A, b)
+
+
+def spherify_poses(
+    poses: np.ndarray, bounds: np.ndarray, n_render_poses: int = 120
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Re-frame an inward-facing (360°) capture for spherical sampling.
+
+    The reference carries only the ``--spherify`` flag
+    (/root/reference/mlx_nerf/config_parser.py:62-63) with nothing behind it;
+    this supplies the capability: translate the scene so the point all view
+    axes pass closest to sits at the origin, rotate so the cameras' mean
+    offset becomes +z ("up"), and rescale to unit mean camera distance.
+    Returns (poses [N,4,4], circular render path [n,4,4], rescaled bounds).
+    """
+    p34 = poses[:, :3, :4]
+    origins = p34[:, :, 3]
+    view_axes = p34[:, :, 2]  # NeRF convention: camera looks along −z
+    center = _closest_point_to_axes(origins, view_axes)
+
+    z = _normalize((origins - center).mean(0))
+    # any vector not parallel to z seeds the orthonormal frame
+    seed = np.array([0.1, 0.2, 0.3])
+    x = _normalize(np.cross(seed, z))
+    y = np.cross(z, x)
+    w2c = np.eye(4, dtype=np.float64)
+    w2c[:3, :3] = np.stack([x, y, z], axis=0)
+    w2c[:3, 3] = -w2c[:3, :3] @ center
+
+    bottom = np.tile(np.array([[0, 0, 0, 1.0]]), (len(poses), 1, 1))
+    new_poses = w2c @ np.concatenate([p34, bottom], 1)
+
+    radii = np.linalg.norm(new_poses[:, :3, 3], axis=-1)
+    sc = 1.0 / radii.mean()
+    new_poses[:, :3, 3] *= sc
+    new_bounds = bounds * sc
+
+    # circular path at the cameras' mean height, looking at the origin
+    zh = float(new_poses[:, 2, 3].mean())
+    r2 = float((new_poses[:, :3, 3] ** 2).sum(-1).mean())
+    rad = np.sqrt(max(r2 - zh * zh, 1e-6))
+    up_w = np.array([0.0, 0.0, 1.0])
+    render = []
+    for th in np.linspace(0.0, 2.0 * np.pi, n_render_poses, endpoint=False):
+        pos = np.array([rad * np.cos(th), rad * np.sin(th), zh])
+        back = _normalize(pos)  # c2w z column: from the origin toward the camera
+        mat = np.concatenate(
+            [_view_matrix(back, up_w, pos), np.array([[0, 0, 0, 1.0]])], 0
+        )
+        render.append(mat)
+    return (
+        new_poses.astype(np.float32),
+        np.stack(render).astype(np.float32),
+        new_bounds.astype(np.float32),
+    )
+
+
 def load_llff_data(
     basedir: str | Path,
     factor: int = 8,
@@ -131,6 +195,7 @@ def load_llff_data(
     bd_factor: float = 0.75,
     llffhold: int = 8,
     n_render_poses: int = 120,
+    spherify: bool = False,
 ) -> LLFFDataset:
     """Load an LLFF capture directory (poses_bounds.npy + images/)."""
     basedir = Path(basedir)
@@ -191,7 +256,12 @@ def load_llff_data(
         bottom = np.tile(np.array([[0, 0, 0, 1.0]], np.float32), (len(poses), 1, 1))
         poses = np.concatenate([poses, bottom], 1)
 
-    render_poses = spiral_path(poses, bounds, n_frames=n_render_poses)
+    if spherify:
+        poses, render_poses, bounds = spherify_poses(
+            poses, bounds, n_render_poses=n_render_poses
+        )
+    else:
+        render_poses = spiral_path(poses, bounds, n_frames=n_render_poses)
 
     n = len(images)
     i_test = np.arange(n)[::llffhold] if llffhold > 0 else np.array([n - 1])

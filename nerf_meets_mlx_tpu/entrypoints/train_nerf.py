@@ -33,7 +33,10 @@ def _load_dataset(cfg: ExperimentConfig):
     if d.dataset_type == "llff":
         from nerf_meets_mlx_tpu.datasets.llff import load_llff_data
 
-        return load_llff_data(d.data_dir, factor=d.llff_factor, llffhold=d.llffhold)
+        return load_llff_data(
+            d.data_dir, factor=d.llff_factor, llffhold=d.llffhold,
+            spherify=d.spherify,
+        )
     if d.dataset_type == "synthetic":
         return make_synthetic_scene(
             d.synth_n_train, d.synth_n_val, d.synth_n_test, d.synth_resolution,
@@ -56,6 +59,7 @@ def train_nerf(
     precrop_iters: Optional[int] = None,
     viewer_port: Optional[int] = None,
     llff_factor: Optional[int] = None,
+    spherify: bool = False,
 ) -> dict:
     """Train a NeRF; returns final metrics incl. held-out test PSNR.
 
@@ -83,6 +87,13 @@ def train_nerf(
         )
     if llff_factor is not None:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, llff_factor=llff_factor))
+    if spherify:
+        # NDC linearizes depth for forward-facing frusta only; a 360 capture
+        # samples metric space between the capture's depth bounds instead
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, spherify=True),
+            render=dataclasses.replace(cfg.render, ndc=False),
+        )
     if precrop_iters is not None:
         # NB: a precrop window longer than the run leaves everything outside
         # the central crop untrained (uniform fog) — short runs must shrink it
@@ -145,6 +156,8 @@ def train_nerf(
         viewer.update("gt", ds.images[view_i][::sub, ::sub])
         print(f"[viewer] http://localhost:{viewer.port}")
 
+    # resuming a finished run skips the loop entirely — keep `metrics` bound
+    metrics: dict = {"step": trainer.step}
     while trainer.step < tcfg.max_iters:
         chunk = tcfg.i_img if viewer else (tcfg.i_testset or tcfg.max_iters)
         n = min(chunk, tcfg.max_iters - trainer.step)

@@ -18,6 +18,7 @@ from nerf_meets_mlx_tpu.datasets.llff import (
     average_pose,
     load_llff_data,
     recenter_poses,
+    spherify_poses,
     spiral_path,
 )
 
@@ -96,6 +97,133 @@ def test_spiral_path_properties(llff_dir):
     R = ds.render_poses[:, :3, :3]
     eye = np.einsum("nij,nik->njk", R, R)
     np.testing.assert_allclose(eye, np.tile(np.eye(3), (30, 1, 1)), atol=1e-5)
+
+
+def _look_at_c2w(pos, target, up=(0.0, 0.0, 1.0)):
+    """NeRF-convention c2w (camera looks along −z) at `pos` toward `target`."""
+    back = pos - target
+    back = back / np.linalg.norm(back)
+    x = np.cross(np.asarray(up, np.float64), back)
+    x = x / np.linalg.norm(x)
+    y = np.cross(back, x)
+    c2w = np.eye(4)
+    c2w[:3, :3] = np.stack([x, y, back], axis=1)
+    c2w[:3, 3] = pos
+    return c2w
+
+
+def _write_fake_llff_360(root, n=12, H=24, W=32, focal=30.0, center=(0.5, -0.3, 0.2)):
+    """An inward-facing ring: cameras on a tilted sphere all looking at
+    `center` (deliberately off-origin so spherify has work to do)."""
+    import imageio.v2 as imageio
+
+    img_dir = root / "images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    center = np.asarray(center)
+    rows = []
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        pos = center + 3.0 * np.array(
+            [np.cos(th), np.sin(th), 0.3 + 0.1 * np.sin(2 * th)]
+        )
+        c2w = _look_at_c2w(pos, center)[:3]
+        llff = np.concatenate([-c2w[:, 1:2], c2w[:, 0:1], c2w[:, 2:4]], axis=1)
+        hwf = np.array([[H], [W], [focal]], np.float64)
+        rows.append(
+            np.concatenate([np.concatenate([llff, hwf], 1).ravel(), [1.5, 6.0]])
+        )
+        img = (rng.uniform(size=(H, W, 3)) * 255).astype(np.uint8)
+        imageio.imwrite(img_dir / f"img_{i:03d}.png", img)
+    np.save(root / "poses_bounds.npy", np.stack(rows))
+
+
+@pytest.fixture()
+def llff_360_dir(tmp_path):
+    _write_fake_llff_360(tmp_path)
+    return tmp_path
+
+
+def test_spherify_centers_and_scales(llff_360_dir):
+    """All view axes pass through the fixture's look-at point, so spherify
+    must move that point to the origin and normalize camera distance."""
+    ds = load_llff_data(llff_360_dir, factor=1, spherify=True)
+    origins = ds.poses[:, :3, 3]
+    # unit mean camera distance
+    assert np.linalg.norm(origins, axis=-1).mean() == pytest.approx(1.0, abs=1e-5)
+    # every camera's view axis (the −z ray) passes through the world origin:
+    # distance from origin to the line (o, z_axis) is ~0
+    z_axes = ds.poses[:, :3, 2]
+    cross = np.cross(origins, z_axes)
+    assert np.abs(np.linalg.norm(cross, axis=-1)).max() < 1e-4
+    # "up" re-framing: cameras sit above the xy-plane along +z
+    assert origins[:, 2].mean() > 0
+
+
+def test_spherify_render_path_circles_origin(llff_360_dir):
+    ds = load_llff_data(llff_360_dir, factor=1, spherify=True, n_render_poses=24)
+    assert ds.render_poses.shape == (24, 4, 4)
+    pos = ds.render_poses[:, :3, 3]
+    # constant radius, constant height
+    r = np.linalg.norm(pos[:, :2], axis=-1)
+    np.testing.assert_allclose(r, r[0], rtol=1e-5)
+    np.testing.assert_allclose(pos[:, 2], pos[0, 2], atol=1e-6)
+    # each render camera looks at the origin: back column ∝ position
+    back = ds.render_poses[:, :3, 2]
+    cos = np.sum(back * pos, -1) / (np.linalg.norm(pos, axis=-1))
+    np.testing.assert_allclose(cos, 1.0, atol=1e-5)
+    # orthonormal rotations
+    R = ds.render_poses[:, :3, :3]
+    eye = np.einsum("nij,nik->njk", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (24, 1, 1)), atol=1e-5)
+
+
+def test_spherify_poses_is_rigid_plus_scale():
+    """Pairwise camera distances are preserved up to the global scale."""
+    rng = np.random.default_rng(2)
+    poses = []
+    for _ in range(8):
+        pos = rng.normal(size=3) * 2.0
+        target = rng.normal(size=3) * 0.1
+        poses.append(_look_at_c2w(pos, target))
+    poses = np.stack(poses).astype(np.float32)
+    bounds = np.tile(np.array([[1.0, 5.0]], np.float32), (8, 1))
+    new_poses, _, new_bounds = spherify_poses(poses, bounds, n_render_poses=4)
+    d_old = np.linalg.norm(
+        poses[:, None, :3, 3] - poses[None, :, :3, 3], axis=-1
+    )
+    d_new = np.linalg.norm(
+        new_poses[:, None, :3, 3] - new_poses[None, :, :3, 3], axis=-1
+    )
+    sc = new_bounds[0, 0] / bounds[0, 0]
+    np.testing.assert_allclose(d_new, d_old * sc, rtol=1e-4, atol=1e-5)
+
+
+def test_spherify_train_step(llff_360_dir):
+    """train_nerf wiring: --spherify forces ndc off and trains finitely."""
+    from nerf_meets_mlx_tpu.engine.train_state import create_train_state
+    from nerf_meets_mlx_tpu.engine.trainer import make_nerf_train_step
+    from nerf_meets_mlx_tpu.models import create_nerf
+
+    cfg = PRESETS["llff"]()
+    cfg = cfg.replace(
+        mlp=dataclasses.replace(cfg.mlp, net_depth=2, net_width=32, skips=()),
+        mlp_fine=dataclasses.replace(cfg.mlp, net_depth=2, net_width=32, skips=()),
+        render=dataclasses.replace(cfg.render, n_samples=8, n_importance=8, ndc=False),
+        train=dataclasses.replace(cfg.train, n_rand=16),
+    )
+    ds = load_llff_data(llff_360_dir, factor=1, spherify=True)
+    cfg = cfg.replace(
+        render=dataclasses.replace(cfg.render, near=ds.near, far=ds.far)
+    )
+    assert 0 < ds.near < ds.far
+    model = create_nerf(cfg)
+    state = create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train)
+    step = make_nerf_train_step(model, ds.H, ds.W, ds.focal)
+    images = jnp.asarray(ds.images[ds.i_train])
+    poses = jnp.asarray(ds.poses[ds.i_train, :3, :4])
+    state, aux = step(state, images, poses, jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["loss"]))
 
 
 def test_llff_preset_ndc_train_step(llff_dir):
