@@ -31,6 +31,7 @@ def main(argv=None):
     t.add_argument("--viewer-port", type=int, default=None, help="serve the live web viewer on this port")
     t.add_argument("--llff-factor", type=int, default=None, help="LLFF image downsample factor (llff preset)")
     t.add_argument("--spherify", action="store_true", help="LLFF 360 capture: spherical re-framing instead of NDC")
+    t.add_argument("--shape", default=None, help="DeepVoxels object: armchair / cube / greek / vase")
 
     r = sub.add_parser("render", help="render from a checkpoint (orbit video or test views)")
     r.add_argument("--preset", default="lego_hierarchical", choices=sorted(PRESETS))
@@ -66,6 +67,7 @@ def main(argv=None):
             viewer_port=args.viewer_port,
             llff_factor=args.llff_factor,
             spherify=args.spherify,
+            dv_shape=args.shape,
         )
     elif args.cmd == "render":
         from nerf_meets_mlx_tpu.entrypoints import render_only

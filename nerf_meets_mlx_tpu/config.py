@@ -173,7 +173,7 @@ class DataConfig:
     """Dataset settings (reference: config_parser.py:51-68,
     dataset/dataloader.py)."""
 
-    dataset_type: str = "blender"   # blender | llff | synthetic | image
+    dataset_type: str = "blender"   # blender | llff | deepvoxels | synthetic | image
     data_dir: str = ""
     half_res: bool = False
     testskip: int = 8
@@ -186,6 +186,9 @@ class DataConfig:
     # point + circular render path (reference flag config_parser.py:62-63,
     # no implementation behind it). Implies ndc=False.
     spherify: bool = False
+    # DeepVoxels object (reference flag --shape, config_parser.py:57:
+    # armchair / cube / greek / vase)
+    dv_shape: str = "greek"
     # procedural synthetic scene (for tests/benchmarks without downloads)
     synth_n_train: int = 20
     synth_n_val: int = 4
@@ -386,6 +389,19 @@ def llff() -> ExperimentConfig:
     )
 
 
+def deepvoxels() -> ExperimentConfig:
+    """DeepVoxels object capture (greek-style): the reference exposes
+    --dataset_type deepvoxels and --shape (config_parser.py:53-57) with no
+    loader; this preset pairs datasets/deepvoxels.py with the standard
+    recipe — white background, hemisphere-derived near/far (set from the
+    capture at load time), 64+128 samples, no precrop."""
+    cfg = _nerf_base(n_samples=64, n_importance=128)
+    return cfg.replace(
+        train=dataclasses.replace(cfg.train, precrop_iters=0),
+        data=DataConfig(dataset_type="deepvoxels"),
+    )
+
+
 def lego_full() -> ExperimentConfig:
     """Config 4: full 800x800, 200k iters with lr decay."""
     cfg = _nerf_base(n_samples=64, n_importance=128)
@@ -420,4 +436,5 @@ PRESETS = {
     "lego_full": lego_full,
     "lego_ingp": lego_ingp,
     "llff": llff,
+    "deepvoxels": deepvoxels,
 }

@@ -37,6 +37,12 @@ def _load_dataset(cfg: ExperimentConfig):
             d.data_dir, factor=d.llff_factor, llffhold=d.llffhold,
             spherify=d.spherify,
         )
+    if d.dataset_type == "deepvoxels":
+        from nerf_meets_mlx_tpu.datasets.deepvoxels import load_deepvoxels_data
+
+        return load_deepvoxels_data(
+            d.data_dir, shape=d.dv_shape, testskip=d.testskip
+        )
     if d.dataset_type == "synthetic":
         return make_synthetic_scene(
             d.synth_n_train, d.synth_n_val, d.synth_n_test, d.synth_resolution,
@@ -60,6 +66,7 @@ def train_nerf(
     viewer_port: Optional[int] = None,
     llff_factor: Optional[int] = None,
     spherify: bool = False,
+    dv_shape: Optional[str] = None,
 ) -> dict:
     """Train a NeRF; returns final metrics incl. held-out test PSNR.
 
@@ -77,6 +84,11 @@ def train_nerf(
         # NDC assumes forward-facing captures; the procedural synthetic
         # fallback is a 360 orbit scene and would silently mistrain
         raise ValueError("the llff preset requires --data-dir (a capture with poses_bounds.npy)")
+    elif cfg.data.dataset_type == "deepvoxels":
+        raise ValueError(
+            "the deepvoxels preset requires --data-dir "
+            "(the published train/validation/test layout)"
+        )
     elif not cfg.data.data_dir:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, dataset_type="synthetic"))
     if max_iters:
@@ -87,6 +99,8 @@ def train_nerf(
         )
     if llff_factor is not None:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, llff_factor=llff_factor))
+    if dv_shape is not None:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, dv_shape=dv_shape))
     if spherify:
         # NDC linearizes depth for forward-facing frusta only; a 360 capture
         # samples metric space between the capture's depth bounds instead
@@ -112,9 +126,10 @@ def train_nerf(
         cfg = cfg.replace(use_fused_kernel=True)
 
     ds = _load_dataset(cfg)
-    # non-NDC real captures: sampling bounds come from the capture's depth
-    # bounds, not the config (NDC space keeps the preset's near=0/far=1)
-    if not cfg.render.ndc and hasattr(ds, "bounds"):
+    # non-NDC real captures: sampling bounds come from the capture (LLFF
+    # depth bounds / DeepVoxels hemisphere radius), not the config (NDC
+    # space keeps the preset's near=0/far=1)
+    if not cfg.render.ndc and hasattr(ds, "near"):
         cfg = cfg.replace(
             render=dataclasses.replace(cfg.render, near=ds.near, far=ds.far)
         )
