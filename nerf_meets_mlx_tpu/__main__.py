@@ -40,6 +40,8 @@ def main(argv=None):
     r.add_argument("--render-test", action="store_true", help="render + score held-out test views")
     r.add_argument("--out-dir", default=None)
     r.add_argument("--n-orbit", type=int, default=160)
+    r.add_argument("--spherify", action="store_true", help="LLFF 360 capture: spherical re-framing instead of NDC")
+    r.add_argument("--shape", default=None, help="DeepVoxels object: armchair / cube / greek / vase")
 
     i = sub.add_parser("image", help="2-D image learning")
     i.add_argument("--image-path", default=None)
@@ -79,6 +81,8 @@ def main(argv=None):
             render_test=args.render_test,
             out_dir=args.out_dir,
             n_orbit=args.n_orbit,
+            spherify=args.spherify,
+            dv_shape=args.shape,
         )
     else:
         from nerf_meets_mlx_tpu.entrypoints import image_learning

@@ -33,6 +33,8 @@ def render_only(
     render_test: bool = False,
     out_dir: Optional[str] = None,
     n_orbit: int = 160,
+    spherify: bool = False,
+    dv_shape: Optional[str] = None,
 ) -> dict:
     """Render from the latest checkpoint under ``log_dir``.
 
@@ -40,12 +42,25 @@ def render_only(
     otherwise writes the orbit video.
     """
     cfg = PRESETS[preset]()
+    if dv_shape is not None:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, dv_shape=dv_shape))
+    if spherify:
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, spherify=True),
+            render=dataclasses.replace(cfg.render, ndc=False),
+        )
     if data_dir:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, data_dir=data_dir))
     elif not cfg.data.data_dir:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, dataset_type="synthetic"))
 
     ds = _load_dataset(cfg)
+    # mirror the training-time bound override (capture-derived near/far) so
+    # the rendered sampling span matches what the checkpoint was trained with
+    if not cfg.render.ndc and hasattr(ds, "near"):
+        cfg = cfg.replace(
+            render=dataclasses.replace(cfg.render, near=ds.near, far=ds.far)
+        )
     model = create_nerf(cfg)
 
     ckpt_dir = Path(log_dir) / "ckpt"
