@@ -273,9 +273,19 @@ def config_from_text(path: str | Path, base: Optional[ExperimentConfig] = None) 
     cfg = base if base is not None else lego_hierarchical()
     render = dataclasses.replace(
         cfg.render,
-        n_samples=int(kv.get("N_samples", cfg.render.n_samples)),
+        # the reference renamed N_samples to --n_depth_samples
+        # (config_parser.py:36); the NeRF-original text configs it loads
+        # still say N_samples — accept both
+        n_samples=int(
+            kv.get("N_samples", kv.get("n_depth_samples", cfg.render.n_samples))
+        ),
         n_importance=int(kv.get("N_importance", cfg.render.n_importance)),
         white_bkgd=bool(kv.get("white_bkgd", cfg.render.white_bkgd)),
+        perturb=float(kv.get("perturb", cfg.render.perturb)),
+        raw_noise_std=float(kv.get("raw_noise_std", cfg.render.raw_noise_std)),
+        lindisp=bool(kv.get("lindisp", cfg.render.lindisp)),
+        ndc=(not bool(kv["no_ndc"])) if "no_ndc" in kv else cfg.render.ndc,
+        ray_chunk=int(kv.get("chunk", cfg.render.ray_chunk)),
     )
     train = dataclasses.replace(
         cfg.train,
@@ -286,6 +296,12 @@ def config_from_text(path: str | Path, base: Optional[ExperimentConfig] = None) 
         precrop_frac=float(kv.get("precrop_frac", cfg.train.precrop_frac)),
         exp_name=str(kv.get("expname", cfg.train.exp_name)),
         log_dir=str(kv.get("basedir", cfg.train.log_dir)),
+        # logging/io cadences (reference config_parser.py:73-77)
+        i_print=int(kv.get("i_print", cfg.train.i_print)),
+        i_img=int(kv.get("i_img", cfg.train.i_img)),
+        i_weights=int(kv.get("i_weights", cfg.train.i_weights)),
+        i_testset=int(kv.get("i_testset", cfg.train.i_testset)),
+        i_video=int(kv.get("i_video", cfg.train.i_video)),
     )
     data = dataclasses.replace(
         cfg.data,
@@ -293,12 +309,20 @@ def config_from_text(path: str | Path, base: Optional[ExperimentConfig] = None) 
         data_dir=str(kv.get("datadir", cfg.data.data_dir)),
         half_res=bool(kv.get("half_res", cfg.data.half_res)),
         testskip=int(kv.get("testskip", cfg.data.testskip)),
+        llff_factor=int(kv.get("factor", cfg.data.llff_factor)),
+        llffhold=int(kv.get("llffhold", cfg.data.llffhold)),
+        spherify=bool(kv.get("spherify", cfg.data.spherify)),
+        dv_shape=str(kv.get("shape", cfg.data.dv_shape)),
     )
-    # --netdepth/--netwidth(_fine) (reference config_parser.py:13-16)
+    # --netdepth/--netwidth(_fine) (reference config_parser.py:13-16);
+    # --use_viewdirs (:38); --multires/--multires_views + --i_embed
+    # (0 = positional, -1 = identity; :40-44)
+    use_viewdirs = bool(kv.get("use_viewdirs", cfg.mlp.use_viewdirs))
     mlp = dataclasses.replace(
         cfg.mlp,
         net_depth=int(kv.get("netdepth", cfg.mlp.net_depth)),
         net_width=int(kv.get("netwidth", cfg.mlp.net_width)),
+        use_viewdirs=use_viewdirs,
     )
     mlp_fine = cfg.mlp_fine
     if mlp_fine is not None:
@@ -306,8 +330,19 @@ def config_from_text(path: str | Path, base: Optional[ExperimentConfig] = None) 
             mlp_fine,
             net_depth=int(kv.get("netdepth_fine", mlp_fine.net_depth)),
             net_width=int(kv.get("netwidth_fine", mlp_fine.net_width)),
+            use_viewdirs=use_viewdirs,
         )
-    return cfg.replace(render=render, train=train, data=data, mlp=mlp, mlp_fine=mlp_fine)
+    pos_enc, dir_enc = cfg.pos_encoding, cfg.dir_encoding
+    if int(kv.get("i_embed", 0)) == -1:
+        pos_enc = dataclasses.replace(pos_enc, kind="identity")
+    elif "multires" in kv:
+        pos_enc = dataclasses.replace(pos_enc, n_freqs=int(kv["multires"]))
+    if dir_enc is not None and "multires_views" in kv:
+        dir_enc = dataclasses.replace(dir_enc, n_freqs=int(kv["multires_views"]))
+    return cfg.replace(
+        render=render, train=train, data=data, mlp=mlp, mlp_fine=mlp_fine,
+        pos_encoding=pos_enc, dir_encoding=dir_enc,
+    )
 
 
 # ---------------------------------------------------------------------------

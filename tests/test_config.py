@@ -84,3 +84,57 @@ def test_config_replace_immutability():
     cfg2 = cfg.replace(train=cfg.train)
     assert cfg2 is not cfg
     assert hash(cfg) == hash(cfg)  # hashable (jit static arg requirement)
+
+
+def test_config_from_text_full_flag_coverage(tmp_path):
+    """Every reference flag that maps to a config field round-trips from the
+    text format (config_parser.py:3-80): sampling/render, llff, deepvoxels,
+    encoding, viewdirs, cadence keys."""
+    p = tmp_path / "fern.txt"
+    p.write_text(
+        "dataset_type = llff\n"
+        "factor = 4\n"
+        "llffhold = 10\n"
+        "spherify = True\n"
+        "no_ndc = True\n"
+        "lindisp = True\n"
+        "perturb = 0.0\n"
+        "raw_noise_std = 1.0\n"
+        "n_depth_samples = 32\n"   # the reference's rename of N_samples
+        "chunk = 16384\n"
+        "multires = 6\n"
+        "multires_views = 2\n"
+        "use_viewdirs = False\n"
+        "shape = vase\n"
+        "i_print = 50\n"
+        "i_img = 250\n"
+        "i_weights = 5000\n"
+        "i_testset = 25000\n"
+        "i_video = 25000\n"
+    )
+    cfg = config_from_text(p)
+    assert cfg.data.dataset_type == "llff"
+    assert cfg.data.llff_factor == 4
+    assert cfg.data.llffhold == 10
+    assert cfg.data.spherify is True
+    assert cfg.data.dv_shape == "vase"
+    assert cfg.render.ndc is False
+    assert cfg.render.lindisp is True
+    assert cfg.render.perturb == 0.0
+    assert cfg.render.raw_noise_std == 1.0
+    assert cfg.render.n_samples == 32
+    assert cfg.render.ray_chunk == 16384
+    assert cfg.pos_encoding.n_freqs == 6
+    assert cfg.dir_encoding.n_freqs == 2
+    assert cfg.mlp.use_viewdirs is False
+    assert cfg.mlp_fine.use_viewdirs is False
+    assert cfg.train.i_print == 50 and cfg.train.i_img == 250
+    assert cfg.train.i_weights == 5000
+    assert cfg.train.i_testset == 25000 and cfg.train.i_video == 25000
+
+
+def test_config_from_text_i_embed_identity(tmp_path):
+    p = tmp_path / "ident.txt"
+    p.write_text("i_embed = -1\n")
+    cfg = config_from_text(p)
+    assert cfg.pos_encoding.kind == "identity"

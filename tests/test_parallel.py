@@ -139,20 +139,17 @@ def test_sharded_render_matches_single_device():
     params = model.init(jax.random.PRNGKey(0))
     c2w = ds.poses[0, :3, :4]
 
+    from nerf_meets_mlx_tpu.parallel import replicated
+
     ref = render_image(model, params, ds.H, ds.W, ds.K, c2w, chunk=64)
     render_sharded = make_sharded_render_image(model, mesh, chunk=64)
-    out = render_sharded(replicate_state_params(params, mesh), ds.H, ds.W, ds.K, c2w)
+    params_repl = jax.device_put(params, replicated(mesh))
+    out = render_sharded(params_repl, ds.H, ds.W, ds.K, c2w)
     for k in ("rgb_map", "disp_map", "acc_map", "depth_map"):
         np.testing.assert_allclose(
             np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-5, atol=1e-6
         )
     assert out["rgb_map"].shape == (ds.H, ds.W, 3)
-
-
-def replicate_state_params(params, mesh):
-    from nerf_meets_mlx_tpu.parallel import replicated
-
-    return jax.device_put(params, replicated(mesh))
 
 
 def test_sharded_render_ndc_path():
