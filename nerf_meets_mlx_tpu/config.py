@@ -64,6 +64,14 @@ class EncodingConfig:
     hash_features_per_level: int = 2
     hash_log2_table_size: int = 19
     hash_init_scale: float = 1e-4
+    # CP low-rank grid (TensoRF-style; encoding/cp_grid.py) — the TPU-native
+    # fast neural field: 1-D factor lines interpolated via hat-matrix GEMMs,
+    # zero gathers (the hash grid above is gather-bound on TPU)
+    cp_n_levels: int = 4
+    cp_min_res: int = 64
+    cp_max_res: int = 512
+    cp_n_components: int = 16
+    cp_init_scale: float = 0.2
 
     @property
     def out_dim(self) -> int:
@@ -78,6 +86,8 @@ class EncodingConfig:
             return (self.sh_degree + 1) ** 2
         if self.kind == "hash_grid":
             return self.hash_n_levels * self.hash_features_per_level
+        if self.kind == "cp_grid":
+            return self.cp_n_levels * self.cp_n_components
         raise ValueError(f"unknown encoding kind: {self.kind}")
 
 
@@ -137,6 +147,18 @@ class RenderConfig:
     # sample counts would break XLA's static shapes). None = reference
     # behavior (full [near, far] on every ray).
     aabb: Optional[Tuple[float, float, float, float, float, float]] = None
+    # learned occupancy grid (acceleration/occupancy.py): density grid over
+    # the AABB, EMA-updated from the fine network inside the train step,
+    # probed per-ray to tighten [near, far] to actual geometry (beyond the
+    # static slab test above). Requires aabb. Static shapes throughout —
+    # only the sampling interval shrinks, never the sample count.
+    occupancy: bool = False
+    occ_resolution: int = 64
+    occ_n_probes: int = 64       # per-ray grid probes (one gather each)
+    occ_update_every: int = 16   # train steps between grid EMA updates
+    occ_decay: float = 0.95      # EMA decay per update
+    occ_threshold: float = 0.01  # activated-density occupancy cutoff
+    occ_warmup: int = 1000       # steps before the grid gates sampling
 
 
 # ---------------------------------------------------------------------------
@@ -409,6 +431,20 @@ def lego_fast() -> ExperimentConfig:
     return cfg
 
 
+def lego_occ() -> ExperimentConfig:
+    """lego_fast plus the LEARNED occupancy grid at a QUARTER of the
+    reference sample budget (16+32 vs 64+128): the grid tightens each ray's
+    interval to actual geometry (first/last occupied cell along the ray), so
+    the remaining samples land almost entirely on the object. Beyond-
+    reference capability stacked on lego_fast's static AABB skipping."""
+    cfg = _nerf_base(
+        n_samples=16, n_importance=32,
+        aabb=(-1.5, -1.5, -1.5, 1.5, 1.5, 1.5),
+        occupancy=True,
+    )
+    return cfg
+
+
 def llff() -> ExperimentConfig:
     """LLFF forward-facing capture (fern-style): NDC rays (near=0, far=1 in
     NDC space), black background, no precrop, 64+64 samples/ray — the
@@ -463,13 +499,35 @@ def lego_ingp() -> ExperimentConfig:
     )
 
 
+def lego_cp() -> ExperimentConfig:
+    """TPU-native fast-field variant: CP low-rank grid encoding (TensoRF-
+    style, encoding/cp_grid.py) + SH directions + small MLP, 5k-iter fast
+    run. Same capability class as Config 5's Instant-NGP (fast-converging
+    learned spatial encoding, small MLP) but built from hat-matrix GEMMs
+    instead of hash-table gathers — the design TPU hardware actually wants
+    (the hash path is gather-bound, docs/DESIGN.md "Hash-grid on TPU")."""
+    cfg = _nerf_base(
+        n_samples=48, n_importance=48,
+        aabb=(-1.5, -1.5, -1.5, 1.5, 1.5, 1.5),
+    )
+    return cfg.replace(
+        pos_encoding=EncodingConfig(kind="cp_grid", in_dim=3),
+        dir_encoding=EncodingConfig(kind="spherical_harmonics", in_dim=3, sh_degree=4),
+        mlp=MLPConfig(net_depth=2, net_width=64, skips=(), use_viewdirs=True),
+        mlp_fine=MLPConfig(net_depth=2, net_width=64, skips=(), use_viewdirs=True),
+        train=dataclasses.replace(cfg.train, max_iters=5000, lrate=1e-2, adam_b2=0.99),
+    )
+
+
 PRESETS = {
     "image2d": image2d,
     "lego_coarse": lego_coarse,
     "lego_hierarchical": lego_hierarchical,
     "lego_fast": lego_fast,
+    "lego_occ": lego_occ,
     "lego_full": lego_full,
     "lego_ingp": lego_ingp,
+    "lego_cp": lego_cp,
     "llff": llff,
     "deepvoxels": deepvoxels,
 }

@@ -63,4 +63,15 @@ def make_encoding(cfg: EncodingConfig) -> "Encoding":
             log2_table_size=cfg.hash_log2_table_size,
             init_scale=cfg.hash_init_scale,
         )
+    if cfg.kind == "cp_grid":
+        from nerf_meets_mlx_tpu.encoding.cp_grid import CPGridEncoding
+
+        return CPGridEncoding(
+            in_dim=cfg.in_dim,
+            n_levels=cfg.cp_n_levels,
+            min_res=cfg.cp_min_res,
+            max_res=cfg.cp_max_res,
+            n_components=cfg.cp_n_components,
+            init_scale=cfg.cp_init_scale,
+        )
     raise ValueError(f"unknown encoding kind: {cfg.kind}")

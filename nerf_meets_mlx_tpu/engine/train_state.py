@@ -26,6 +26,10 @@ class TrainState:
     step: jnp.ndarray          # int32 scalar
     params: Any
     opt_state: Any
+    # learned occupancy grid [R, R, R] (acceleration/occupancy.py) — auxiliary
+    # non-optimized state, EMA-updated inside the train step; None when
+    # render.occupancy is off
+    occ_grid: Any = None
 
 
 def lr_schedule(cfg: TrainConfig):
@@ -43,10 +47,13 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.adam(lr_schedule(cfg), b1=cfg.adam_b1, b2=cfg.adam_b2)
 
 
-def create_train_state(params: Any, cfg: TrainConfig) -> TrainState:
+def create_train_state(
+    params: Any, cfg: TrainConfig, occ_grid: Any = None
+) -> TrainState:
     tx = make_optimizer(cfg)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
+        occ_grid=occ_grid,
     )

@@ -86,8 +86,13 @@ def nerf_loss_fn(
     target: jnp.ndarray,
     key: jax.Array,
     viewdirs: Optional[jnp.ndarray] = None,
+    occ_grid: Optional[jnp.ndarray] = None,
+    occ_active=True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    out = model.render_rays(params, rays_o, rays_d, key, train=True, viewdirs=viewdirs)
+    out = model.render_rays(
+        params, rays_o, rays_d, key, train=True, viewdirs=viewdirs,
+        occ_grid=occ_grid, occ_active=occ_active,
+    )
     loss_c = jnp.mean((out["rgb_coarse"] - target) ** 2)
     loss = loss_c
     aux = {"loss_coarse": loss_c}
@@ -100,6 +105,29 @@ def nerf_loss_fn(
         aux["psnr"] = mse_to_psnr(loss_c)
     aux["loss"] = loss
     return loss, aux
+
+
+def maybe_update_occupancy(
+    model: NeRFModel, state: TrainState, key: jax.Array
+) -> Tuple[Optional[jnp.ndarray], Any]:
+    """Occupancy-grid maintenance inside the train step: every
+    occ_update_every steps EMA-update the grid from the current network
+    (a lax.cond branch — no separate dispatch), and gate its use on the
+    warmup. Returns (occ_grid, occ_active); (None, True) when the feature is
+    off. Shared by the single-chip and sharded steps."""
+    rcfg = model.cfg.render
+    if not rcfg.occupancy or state.occ_grid is None:
+        return None, True
+    from nerf_meets_mlx_tpu.acceleration.occupancy import update_occupancy_grid
+
+    k_occ = jax.random.fold_in(jax.random.fold_in(key, state.step), 0x0CC)
+    occ = jax.lax.cond(
+        (state.step % rcfg.occ_update_every) == 0,
+        lambda g: update_occupancy_grid(model, state.params, g, k_occ, rcfg.occ_decay),
+        lambda g: g,
+        state.occ_grid,
+    )
+    return occ, state.step >= rcfg.occ_warmup
 
 
 def make_nerf_train_step(
@@ -138,13 +166,20 @@ def make_nerf_train_step(
             viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
             rays_o, rays_d = ndc_rays(H, W, float(K[0, 0]), 1.0, rays_o, rays_d)
 
+        occ, occ_active = maybe_update_occupancy(model, state, key)
+
         def loss_fn(p):
-            return nerf_loss_fn(model, p, rays_o, rays_d, target, k_render, viewdirs)
+            return nerf_loss_fn(
+                model, p, rays_o, rays_d, target, k_render, viewdirs,
+                occ_grid=occ, occ_active=occ_active,
+            )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, occ_grid=occ
+        )
         return new_state, aux
 
     if n_inner <= 1:
@@ -227,7 +262,12 @@ class Trainer:
         self._t_saved = time.perf_counter()
         self.key = jax.random.PRNGKey(cfg.train.seed)
         params = model.init(jax.random.fold_in(self.key, 1))
-        self.state = create_train_state(params, cfg.train)
+        occ = None
+        if cfg.render.occupancy:
+            from nerf_meets_mlx_tpu.acceleration.occupancy import init_occupancy_grid
+
+            occ = init_occupancy_grid(cfg.render.occ_resolution)
+        self.state = create_train_state(params, cfg.train, occ_grid=occ)
         self.log_dir = Path(log_dir or Path(cfg.train.log_dir) / cfg.train.exp_name)
         self.logger = MetricsLogger(self.log_dir / "metrics.jsonl")
         self._t_last = time.perf_counter()

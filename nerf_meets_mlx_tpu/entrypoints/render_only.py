@@ -67,7 +67,14 @@ def render_only(
     step = latest_step(ckpt_dir)
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
-    template = create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train)
+    occ = None
+    if cfg.render.occupancy:
+        from nerf_meets_mlx_tpu.acceleration.occupancy import init_occupancy_grid
+
+        occ = init_occupancy_grid(cfg.render.occ_resolution)
+    template = create_train_state(
+        model.init(jax.random.PRNGKey(0)), cfg.train, occ_grid=occ
+    )
     state = restore_checkpoint(ckpt_dir, template, step)
     out_path = Path(out_dir or (Path(log_dir) / f"render_only_{step}"))
     out_path.mkdir(parents=True, exist_ok=True)
@@ -78,7 +85,10 @@ def render_only(
 
         psnrs, ssims = [], []
         for i in ds.i_test:
-            out = render_image(model, state.params, ds.H, ds.W, ds.K, ds.poses[i, :3, :4])
+            out = render_image(
+                model, state.params, ds.H, ds.W, ds.K, ds.poses[i, :3, :4],
+                occ_grid=state.occ_grid,
+            )
             gt = jnp.asarray(ds.images[i])
             psnrs.append(float(psnr_fn(out["rgb_map"], gt)))
             ssims.append(float(ssim_fn(out["rgb_map"], gt)))
@@ -88,7 +98,9 @@ def render_only(
         result["test_psnrs"] = psnrs
     else:
         poses = ds.render_poses[:n_orbit]
-        frames = render_orbit(model, state.params, ds.H, ds.W, ds.K, poses)
+        frames = render_orbit(
+            model, state.params, ds.H, ds.W, ds.K, poses, occ_grid=state.occ_grid
+        )
         path = write_video(out_path / "orbit.mp4", frames, fps=30)
         result["video"] = str(path)
     return result

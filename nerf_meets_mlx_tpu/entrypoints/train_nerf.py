@@ -180,7 +180,8 @@ def train_nerf(
         metrics = trainer.run(n)
         if viewer is not None:
             out_v = render_image(
-                model, trainer.state.params, vH, vW, vK, ds.poses[view_i, :3, :4]
+                model, trainer.state.params, vH, vW, vK, ds.poses[view_i, :3, :4],
+                occ_grid=trainer.state.occ_grid,
             )
             viewer.update("pred", np.asarray(out_v["rgb_map"]))
             viewer.set_state(step=trainer.step, **metrics)
@@ -192,7 +193,8 @@ def train_nerf(
             # periodic held-out render (reference: every 50k, __test_nerf.py:308-322)
             test_i = view_i
             out = render_image(
-                model, trainer.state.params, ds.H, ds.W, ds.K, ds.poses[test_i, :3, :4]
+                model, trainer.state.params, ds.H, ds.W, ds.K, ds.poses[test_i, :3, :4],
+                occ_grid=trainer.state.occ_grid,
             )
             test_psnr = float(psnr_fn(out["rgb_map"], jnp.asarray(ds.images[test_i])))
             trainer.logger.log(step=trainer.step, test_psnr=test_psnr)
@@ -210,14 +212,18 @@ def train_nerf(
     # final test-set PSNR
     psnrs = []
     for i in ds.i_test:
-        out = render_image(model, trainer.state.params, ds.H, ds.W, ds.K, ds.poses[i, :3, :4])
+        out = render_image(
+            model, trainer.state.params, ds.H, ds.W, ds.K, ds.poses[i, :3, :4],
+            occ_grid=trainer.state.occ_grid,
+        )
         psnrs.append(float(psnr_fn(out["rgb_map"], jnp.asarray(ds.images[i]))))
     result = {**metrics, "test_psnr_mean": float(np.mean(psnrs))}
     trainer.logger.log(step=trainer.step, **{"test_psnr_mean": result["test_psnr_mean"]})
 
     if render_video:
         frames = render_orbit(
-            model, trainer.state.params, ds.H, ds.W, ds.K, ds.render_poses
+            model, trainer.state.params, ds.H, ds.W, ds.K, ds.render_poses,
+            occ_grid=trainer.state.occ_grid,
         )
         write_video(out_dir / f"orbit_{trainer.step}.mp4", frames, fps=30)
     return result

@@ -133,6 +133,8 @@ class NeRFModel:
         key: Optional[jax.Array] = None,
         train: bool = True,
         viewdirs: Optional[jnp.ndarray] = None,  # [B, 3] normalized
+        occ_grid: Optional[jnp.ndarray] = None,  # [R, R, R] learned density
+        occ_active=True,                         # bool / traced warmup gate
     ) -> Dict[str, jnp.ndarray]:
         """Render a batch of rays; coarse + (optional) fine pass.
 
@@ -140,6 +142,10 @@ class NeRFModel:
         — required under NDC, where rays_o/rays_d are the REPROJECTED rays
         but the head must see the original world-space directions (reference:
         viewdirs computed before ndc_rays, render.py:290-307).
+
+        ``occ_grid`` (when cfg.render.occupancy) further tightens each ray's
+        [near, far] to the first/last occupied grid cell
+        (acceleration/occupancy.py); ``occ_active`` gates it during warmup.
 
         Returns a dict with rgb/disp/acc/depth maps for both passes
         ("rgb_map" aliases the finest available, matching the reference's
@@ -163,6 +169,13 @@ class NeRFModel:
 
             near, far = intersect_aabb(
                 rays_o, rays_d, rcfg.aabb[:3], rcfg.aabb[3:], near, far
+            )
+        if rcfg.occupancy and occ_grid is not None:
+            from nerf_meets_mlx_tpu.acceleration.occupancy import tighten_near_far
+
+            near, far = tighten_near_far(
+                occ_grid, rays_o, rays_d, near, far, rcfg.aabb,
+                rcfg.occ_threshold, rcfg.occ_n_probes, active=occ_active,
             )
         sample_fn = sample_z_lindisp if rcfg.lindisp else sample_z_uniform
         z_vals = sample_fn(near, far, rcfg.n_samples)  # [B, S]

@@ -39,7 +39,9 @@ def make_sharded_render_image(
     ray_shard = data_sharding(mesh)
 
     @functools.partial(jax.jit, static_argnames=("H", "W", "chunk_"))
-    def _render(params, H: int, W: int, K, c2w, chunk_: int) -> Dict[str, jnp.ndarray]:
+    def _render(
+        params, H: int, W: int, K, c2w, chunk_: int, occ_grid=None
+    ) -> Dict[str, jnp.ndarray]:
         rays_o, rays_d = get_rays(H, W, K, c2w)
         rays_o = rays_o.reshape(-1, 3)
         rays_d = rays_d.reshape(-1, 3)
@@ -58,7 +60,9 @@ def make_sharded_render_image(
             ro = jax.lax.with_sharding_constraint(ro, ray_shard)
             rd = jax.lax.with_sharding_constraint(rd, ray_shard)
             vd = jax.lax.with_sharding_constraint(vd, ray_shard)
-            out = model.render_rays(params, ro, rd, key=None, train=False, viewdirs=vd)
+            out = model.render_rays(
+                params, ro, rd, key=None, train=False, viewdirs=vd, occ_grid=occ_grid
+            )
             return {
                 "rgb_map": out["rgb_map"],
                 "disp_map": out["disp_map"],
@@ -82,7 +86,7 @@ def make_sharded_render_image(
             "depth_map": out["depth_map"].reshape(H, W),
         }
 
-    def render(params, H: int, W: int, K, c2w) -> Dict[str, jnp.ndarray]:
+    def render(params, H: int, W: int, K, c2w, occ_grid=None) -> Dict[str, jnp.ndarray]:
         c = chunk or cfg.render.ray_chunk
         c = min(c, H * W)
         c = max(n_dev, c - c % n_dev)  # divisible by the mesh
@@ -90,7 +94,7 @@ def make_sharded_render_image(
             return _render(
                 params, H, W,
                 jnp.asarray(K, jnp.float32), jnp.asarray(np.asarray(c2w)[:3, :4], jnp.float32),
-                chunk_=c,
+                chunk_=c, occ_grid=occ_grid,
             )
 
     return render

@@ -22,7 +22,11 @@ import optax
 from jax.sharding import Mesh
 
 from nerf_meets_mlx_tpu.engine.train_state import TrainState, make_optimizer
-from nerf_meets_mlx_tpu.engine.trainer import nerf_loss_fn, sample_train_rays
+from nerf_meets_mlx_tpu.engine.trainer import (
+    maybe_update_occupancy,
+    nerf_loss_fn,
+    sample_train_rays,
+)
 from nerf_meets_mlx_tpu.models.factory import NeRFModel
 from nerf_meets_mlx_tpu.parallel.mesh import data_sharding, replicated
 
@@ -73,14 +77,23 @@ def make_sharded_nerf_train_step(
         if viewdirs is not None:
             viewdirs = jax.lax.with_sharding_constraint(viewdirs, ray_shard)
 
+        # occupancy grid: replicated state; the update's per-cell density
+        # forward partitions trivially (XLA may shard the cell batch too)
+        occ, occ_active = maybe_update_occupancy(model, state, key)
+
         def loss_fn(p):
-            return nerf_loss_fn(model, p, rays_o, rays_d, target, k_render, viewdirs)
+            return nerf_loss_fn(
+                model, p, rays_o, rays_d, target, k_render, viewdirs,
+                occ_grid=occ, occ_active=occ_active,
+            )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         # grads of replicated params over sharded rays -> GSPMD all-reduce
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, occ_grid=occ
+        )
         return new_state, aux
 
     del repl  # state placement comes from replicate_state(); GSPMD keeps it

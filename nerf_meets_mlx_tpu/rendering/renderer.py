@@ -34,6 +34,7 @@ def _render_image_jit(
     K: jnp.ndarray,
     c2w: jnp.ndarray,
     chunk: int,
+    occ_grid=None,
 ) -> Dict[str, jnp.ndarray]:
     rays_o, rays_d = get_rays(H, W, K, c2w)
     rays_o = rays_o.reshape(-1, 3)
@@ -53,7 +54,9 @@ def _render_image_jit(
 
     def body(chunk_rays):
         ro, rd, vd = chunk_rays
-        out = model.render_rays(params, ro, rd, key=None, train=False, viewdirs=vd)
+        out = model.render_rays(
+            params, ro, rd, key=None, train=False, viewdirs=vd, occ_grid=occ_grid
+        )
         return {
             "rgb_map": out["rgb_map"],
             "disp_map": out["disp_map"],
@@ -86,12 +89,17 @@ def render_image(
     K,
     c2w,
     chunk: Optional[int] = None,
+    occ_grid=None,
 ) -> Dict[str, jnp.ndarray]:
-    """Render one H x W frame from camera-to-world matrix ``c2w``."""
+    """Render one H x W frame from camera-to-world matrix ``c2w``.
+
+    Pass the TrainState's ``occ_grid`` so eval rendering benefits from the
+    same learned interval tightening as training (None: full intervals)."""
     chunk = chunk or model.cfg.render.ray_chunk
     chunk = min(chunk, H * W)
     return _render_image_jit(
-        model, params, H, W, jnp.asarray(K, jnp.float32), jnp.asarray(c2w, jnp.float32), chunk
+        model, params, H, W, jnp.asarray(K, jnp.float32), jnp.asarray(c2w, jnp.float32),
+        chunk, occ_grid,
     )
 
 
@@ -103,10 +111,11 @@ def render_orbit(
     K,
     poses: np.ndarray,
     chunk: Optional[int] = None,
+    occ_grid=None,
 ):
     """Render a pose path (reference's 160-frame orbit video,
     __test_nerf.py:326-341). Yields uint8 [H, W, 3] frames."""
     for c2w in poses:
-        out = render_image(model, params, H, W, K, np.asarray(c2w)[:3, :4], chunk)
+        out = render_image(model, params, H, W, K, np.asarray(c2w)[:3, :4], chunk, occ_grid)
         rgb = np.asarray(out["rgb_map"])
         yield (np.clip(rgb, 0.0, 1.0) * 255.0).astype(np.uint8)
