@@ -7,22 +7,29 @@ models/NeRF.py:25-48). Run as separate XLA ops, every layer's [N, 256]
 activation round-trips HBM (~0.8 GB/layer at the fine batch) — the op is
 bandwidth-bound, not FLOPs-bound. This kernel keeps the whole chain in VMEM.
 
-Design:
+Design (v2 — packed single-tile encoding):
 
-* The sinusoidal encoding is reformulated as a matmul: with a band matrix M
-  (M[axis, axis*F + j] = band_j) and a phase vector phi (0 for the sin block,
-  pi/2 for the cos block), enc(x) = sin(x @ M + phi) — so encode + all MLP
-  layers + both heads become ONE GEMM chain with elementwise sin/relu between,
-  which is exactly what the MXU wants. The `include_input` raw-input taps and
-  the skip-concat become additional side matmuls (a concat [a, b] @ W is
-  a @ W_top + b @ W_bottom).
+* Measured on v5e-1 (tools_dev probes, 2026-08-19): a pure
+  [N,256]@[256,256] GEMM chain runs at ~147 TFLOP/s in BOTH f32 and bf16;
+  relu is free; but `sin` costs ~3.5 us per [1024,128] tile and does NOT
+  overlap with MXU work (two independent half-block chains interleave at
+  the same rate as one). The v1 kernel evaluated sin over two separately
+  padded tiles (pos 60->128 cols, dir 24->128 cols) — ~41% of forward time.
+* v2 packs everything the network ever taps into ONE [N, SW] tile S
+  (SW = 128 for the lego shapes): pos sin/cos at cols [0, pos_sc),
+  dir sin/cos at [pos_sc, pos_sc+dir_sc), and the RAW 6-dim input
+  passed through at the next 6 cols. S = where(col < n_sin, sin(T), T)
+  with T = X @ M + phi for one combined band-matrix M whose passthrough
+  rows are identity. ONE tiny-K encode GEMM, ONE sin+select; the
+  `include_input` taps and skip-concats become zero-rows in the main
+  layer matrices instead of separate K=8 side matmuls.
 * Grid over point-blocks; all (padded) weights use constant index_maps so
   Mosaic keeps them resident in VMEM across the whole grid.
 * Custom VJP: the backward kernel recomputes the forward per block
   (flash-style, no stashed activations in HBM) and accumulates dW/db into
   grid-invariant output blocks (zero-init on the first grid step).
-* bfloat16 compute with float32 accumulation (preferred_element_type) when
-  spec.compute_dtype == "bfloat16"; sin/relu masks stay f32.
+* compute_dtype == "bfloat16" casts matmul operands; measured neutral on
+  this hardware (f32 MXU rate == bf16 rate), kept for portability.
 
 `fused_apply_reference` is the pure-jnp twin (same packed params, same math)
 used for CPU fallback and parity tests.
@@ -83,10 +90,9 @@ class FusedMLPSpec:
     # Whether the backward kernel produces dL/dX. In this framework the
     # kernel inputs are always data (ray origins/dirs are the batch; the
     # importance z-samples are stop-gradient, factory.py render_rays), so
-    # the model path disables it — dropping the dSp/dSd accumulators, the
-    # input-tap VJPs and the encoding cos-recompute GEMMs from the bwd
-    # kernel. Enabled for tests and for future composition with learned
-    # input encodings (hash grids).
+    # the model path disables it — dropping the dS accumulators and the
+    # encoding cos GEMM from the bwd kernel. Enabled for tests and for
+    # future composition with learned input encodings (hash grids).
     compute_dx: bool = True
 
     @staticmethod
@@ -119,9 +125,9 @@ class FusedMLPSpec:
             compute_dx=compute_dx,
         )
 
-    # encoded widths (unpadded)
+    # --- packed-tile layout ---------------------------------------------
     @property
-    def pos_sc(self) -> int:  # sin+cos feature count
+    def pos_sc(self) -> int:  # pos sin+cos feature count
         return 2 * 3 * self.pos_freqs
 
     @property
@@ -129,12 +135,19 @@ class FusedMLPSpec:
         return 2 * 3 * self.dir_freqs
 
     @property
-    def psc_pad(self) -> int:
-        return _ru(self.pos_sc)
+    def n_sin(self) -> int:
+        """Columns [0, n_sin) of the packed tile go through sin."""
+        return self.pos_sc + self.dir_sc
 
     @property
-    def dsc_pad(self) -> int:
-        return _ru(self.dir_sc)
+    def o_x(self) -> int:
+        """Column offset of the 6 raw-input passthrough columns."""
+        return self.n_sin
+
+    @property
+    def sw(self) -> int:
+        """Packed tile width (lane-aligned). 128 for the lego shapes."""
+        return _ru(self.n_sin + 6)
 
     @property
     def w2(self) -> int:  # dir-head hidden width
@@ -146,19 +159,33 @@ def _bands(n: int, lo: float, hi: float, mode: str) -> np.ndarray:
     return lin**2 if mode == "reference_squared" else 2.0**lin
 
 
-def _band_matrix(n_freqs, lo, hi, mode, pad, axis_offset) -> Tuple[np.ndarray, np.ndarray]:
-    """M [8, pad] and phi [1, pad] with the sinusoidal_encode layout:
-    cols [axis*F + j] = sin terms, cols [3F + axis*F + j] = cos terms."""
-    b = _bands(n_freqs, lo, hi, mode)
-    M = np.zeros((8, pad), np.float32)
-    phi = np.zeros((1, pad), np.float32)
-    F = n_freqs
-    for axis in range(3):
-        for j in range(F):
-            M[axis_offset + axis, axis * F + j] = b[j]
-            M[axis_offset + axis, 3 * F + axis * F + j] = b[j]
-    phi[0, 3 * F : 6 * F] = np.pi / 2
-    # padded tail: sin(0 + pi/2) = 1 would pollute; keep phase 0 -> sin(0)=0
+def _packed_band_matrix(spec: FusedMLPSpec) -> Tuple[np.ndarray, np.ndarray]:
+    """Combined M [8, SW] and phi [1, SW].
+
+    Per encoding the sinusoidal_encode layout is kept: within its column
+    range, cols [axis*F + j] = sin terms and [3F + axis*F + j] = cos terms
+    (cos as sin(x + pi/2)). Pos occupies cols [0, pos_sc), dir occupies
+    [pos_sc, pos_sc + dir_sc), and rows 0..5 of the raw input pass through
+    (identity) at cols [o_x, o_x + 6). Padding cols stay 0 (T = 0 there,
+    passthrough region -> S = 0).
+    """
+    SW = spec.sw
+    M = np.zeros((8, SW), np.float32)
+    phi = np.zeros((1, SW), np.float32)
+
+    def fill(offset, n_freqs, lo, hi, mode, axis_offset):
+        b = _bands(n_freqs, lo, hi, mode)
+        F = n_freqs
+        for axis in range(3):
+            for j in range(F):
+                M[axis_offset + axis, offset + axis * F + j] = b[j]
+                M[axis_offset + axis, offset + 3 * F + axis * F + j] = b[j]
+        phi[0, offset + 3 * F : offset + 6 * F] = np.pi / 2
+
+    fill(0, spec.pos_freqs, spec.pos_min_exp, spec.pos_max_exp, spec.pos_band_mode, 0)
+    fill(spec.pos_sc, spec.dir_freqs, spec.dir_min_exp, spec.dir_max_exp, spec.dir_band_mode, 3)
+    for i in range(6):  # raw-input passthrough (sits outside the sin region)
+        M[i, spec.o_x + i] = 1.0
     return M, phi
 
 
@@ -180,31 +207,24 @@ def pack_params(spec: FusedMLPSpec, params) -> List[jnp.ndarray]:
     the kernel's GEMM-chain layout. Pure jax ops — autodiff through this
     packing routes cotangents back to the original pytree."""
     W, D = spec.width, spec.depth
-    PSC, DSC = spec.psc_pad, spec.dsc_pad
+    SW = spec.sw
     n_sc_p, n_sc_d = spec.pos_sc, spec.dir_sc
 
-    Mp, phip = _band_matrix(spec.pos_freqs, spec.pos_min_exp, spec.pos_max_exp, spec.pos_band_mode, PSC, 0)
-    Md, phid = _band_matrix(spec.dir_freqs, spec.dir_min_exp, spec.dir_max_exp, spec.dir_band_mode, DSC, 3)
+    M, phi = _packed_band_matrix(spec)
+    out: List[jnp.ndarray] = [jnp.asarray(M), jnp.asarray(phi)]
 
-    out: List[jnp.ndarray] = [jnp.asarray(Mp), jnp.asarray(phip), jnp.asarray(Md), jnp.asarray(phid)]
-
-    def pad_rows(w, rows):
-        return jnp.pad(w, ((0, rows - w.shape[0]), (0, 0)))
-
-    def split_enc_w(w_enc):
-        """[enc_dim, W] -> (A [PSC, W] sin/cos rows, B [8, W] raw-input rows
-        at input positions 0..2)."""
-        A = pad_rows(w_enc[:n_sc_p], PSC)
+    def pack_pos_rows(w_enc):
+        """[pos_enc_dim, O] -> [SW, O]: sin/cos rows at cols 0.., raw-input
+        taps (if include_input) at the passthrough rows, dir rows zero."""
+        O = w_enc.shape[1]
+        A = jnp.zeros((SW, O), w_enc.dtype).at[:n_sc_p].set(w_enc[:n_sc_p])
         if spec.pos_include_input:
-            B = jnp.zeros((8, w_enc.shape[1]), w_enc.dtype).at[0:3].set(w_enc[n_sc_p : n_sc_p + 3])
-        else:
-            B = jnp.zeros((8, w_enc.shape[1]), w_enc.dtype)
-        return A, B
+            A = A.at[spec.o_x : spec.o_x + 3].set(w_enc[n_sc_p : n_sc_p + 3])
+        return A
 
     # layer 0: input = encoded position
     p0 = params["pos_linears"][0]
-    A0, B0 = split_enc_w(p0["w"])
-    out += [A0, B0, p0["b"][None, :]]
+    out += [pack_pos_rows(p0["w"]), p0["b"][None, :]]
 
     for j in range(1, D):
         pj = params["pos_linears"][j]
@@ -212,9 +232,9 @@ def pack_params(spec: FusedMLPSpec, params) -> List[jnp.ndarray]:
             # concat([enc, h]) @ W -> enc part (first rows) + h part
             w = pj["w"]
             enc_dim = n_sc_p + (3 if spec.pos_include_input else 0)
-            Aenc, Benc = split_enc_w(w[:enc_dim])
+            Aenc = pack_pos_rows(w[:enc_dim])
             Ah = w[enc_dim:]
-            out += [Ah, Aenc, Benc, pj["b"][None, :]]
+            out += [Ah, Aenc, pj["b"][None, :]]
         else:
             out += [pj["w"], pj["b"][None, :]]
 
@@ -225,16 +245,16 @@ def pack_params(spec: FusedMLPSpec, params) -> List[jnp.ndarray]:
     bhf = jnp.concatenate([bf, jnp.pad(ba, (0, LANE - 1))])[None, :]
     out += [Whf, bhf]
 
-    # dir layer: concat([feature, enc_dir]) @ Wd
+    # dir layer: concat([feature, enc_dir]) @ Wd -> feature part + packed
+    # dir rows (dir sin/cos cols + raw-dir passthrough taps)
     wd, bd = params["dir_linear"]["w"], params["dir_linear"]["b"]
     Wdf = wd[:W]
     wd_enc = wd[W:]
-    Wds = pad_rows(wd_enc[:n_sc_d], DSC)
+    O = wd.shape[1]
+    Wde = jnp.zeros((SW, O), wd.dtype).at[n_sc_p : n_sc_p + n_sc_d].set(wd_enc[:n_sc_d])
     if spec.dir_include_input:
-        Bd = jnp.zeros((8, wd.shape[1]), wd.dtype).at[3:6].set(wd_enc[n_sc_d : n_sc_d + 3])
-    else:
-        Bd = jnp.zeros((8, wd.shape[1]), wd.dtype)
-    out += [Wdf, Wds, Bd, bd[None, :]]
+        Wde = Wde.at[spec.o_x + 3 : spec.o_x + 6].set(wd_enc[n_sc_d : n_sc_d + 3])
+    out += [Wdf, Wde, bd[None, :]]
 
     # rgb head into 8-wide output (cols 0..2); alpha added to col 3 in-kernel
     wr, br = params["rgb_linear"]["w"], params["rgb_linear"]["b"]
@@ -245,11 +265,11 @@ def pack_params(spec: FusedMLPSpec, params) -> List[jnp.ndarray]:
 
 
 def _n_layer_arrays(spec: FusedMLPSpec) -> int:
-    n = 4 + 3  # bands/phases + layer0 (A0, B0, b0)
+    n = 2 + 2  # M/phi + layer0 (A0, b0)
     for j in range(1, spec.depth):
-        n += 4 if (j - 1) in spec.skips else 2
+        n += 3 if (j - 1) in spec.skips else 2
     n += 2  # Whf, bhf
-    n += 4  # Wdf, Wds, Bd, bd
+    n += 3  # Wdf, Wde, bd
     n += 2  # Wr, br
     return n
 
@@ -257,6 +277,11 @@ def _n_layer_arrays(spec: FusedMLPSpec) -> int:
 # ---------------------------------------------------------------------------
 # Shared forward math (used by kernel and jnp twin)
 # ---------------------------------------------------------------------------
+
+
+def _sin_mask(spec: FusedMLPSpec, shape) -> jnp.ndarray:
+    """[1, SW] bool: True where the packed tile goes through sin."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1) < spec.n_sin
 
 
 def _forward_core(spec: FusedMLPSpec, X, ws, want_residuals: bool = False):
@@ -268,17 +293,17 @@ def _forward_core(spec: FusedMLPSpec, X, ws, want_residuals: bool = False):
         return jnp.dot(a.astype(cdt), b.astype(cdt), preferred_element_type=jnp.float32)
 
     it = iter(ws)
-    Mp, phip, Md, phid = next(it), next(it), next(it), next(it)
-    Sp = jnp.sin(mm(X, Mp) + phip)
-    Sd = jnp.sin(mm(X, Md) + phid)
+    M, phi = next(it), next(it)
+    T = mm(X, M) + phi
+    S = jnp.where(_sin_mask(spec, (1, spec.sw)), jnp.sin(T), T)
 
-    A0, B0, b0 = next(it), next(it), next(it)
-    h = jax.nn.relu(mm(Sp, A0) + mm(X, B0) + b0)
+    A0, b0 = next(it), next(it)
+    h = jax.nn.relu(mm(S, A0) + b0)
     hs = [h]
     for j in range(1, spec.depth):
         if (j - 1) in spec.skips:
-            Ah, Aenc, Benc, bj = next(it), next(it), next(it), next(it)
-            pre = mm(h, Ah) + mm(Sp, Aenc) + mm(X, Benc) + bj
+            Ah, Aenc, bj = next(it), next(it), next(it)
+            pre = mm(h, Ah) + mm(S, Aenc) + bj
         else:
             Aj, bj = next(it), next(it)
             pre = mm(h, Aj) + bj
@@ -290,8 +315,8 @@ def _forward_core(spec: FusedMLPSpec, X, ws, want_residuals: bool = False):
     feat = hf[:, : spec.width]
     alpha = hf[:, spec.width : spec.width + 1]  # [N, 1]
 
-    Wdf, Wds, Bd, bd = next(it), next(it), next(it), next(it)
-    hd = jax.nn.relu(mm(feat, Wdf) + mm(Sd, Wds) + mm(X, Bd) + bd)
+    Wdf, Wde, bd = next(it), next(it), next(it)
+    hd = jax.nn.relu(mm(feat, Wdf) + mm(S, Wde) + bd)
 
     Wr, br = next(it), next(it)
     alpha_col = alpha * (jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == 3).astype(
@@ -299,7 +324,7 @@ def _forward_core(spec: FusedMLPSpec, X, ws, want_residuals: bool = False):
     )
     out = mm(hd, Wr) + br + alpha_col           # [N, 8]; cols 0-2 rgb, 3 alpha
     if want_residuals:
-        return out, (Sp, Sd, hs, feat, hd)
+        return out, (T, S, hs, feat, hd)
     return out
 
 
@@ -348,7 +373,7 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
             preferred_element_type=jnp.float32,
         )
 
-    out, (Sp, Sd, hs, feat, hd) = _forward_core(spec, X, ws, want_residuals=True)
+    out, (T, S, hs, feat, hd) = _forward_core(spec, X, ws, want_residuals=True)
     del out
 
     first = pl.program_id(0) == 0
@@ -359,22 +384,22 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
         grads[idx] = val if grads[idx] is None else grads[idx] + val
 
     # walk the packed list with the same cursor discipline as forward
-    idx = {"i": 4}  # skip Mp, phip, Md, phid (structural constants)
+    idx = {"i": 2}  # skip M, phi (structural constants)
 
     def take():
         i = idx["i"]
         idx["i"] += 1
         return i
 
-    i_A0, i_B0, i_b0 = take(), take(), take()
+    i_A0, i_b0 = take(), take()
     layer_idx = []
     for j in range(1, spec.depth):
         if (j - 1) in spec.skips:
-            layer_idx.append((take(), take(), take(), take()))
+            layer_idx.append((take(), take(), take()))
         else:
             layer_idx.append((take(), take()))
     i_Whf, i_bhf = take(), take()
-    i_Wdf, i_Wds, i_Bd, i_bd = take(), take(), take(), take()
+    i_Wdf, i_Wde, i_bd = take(), take(), take()
     i_Wr, i_br = take(), take()
 
     # ---- backward ----
@@ -384,15 +409,13 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
     dhd = mmbT(dout, ws[i_Wr]) * (hd > 0)
     dalpha = dout[:, 3:4]
 
-    # hd = relu(feat @ Wdf + Sd @ Wds + X @ Bd + bd)
+    # hd = relu(feat @ Wdf + S @ Wde + bd)
     acc(i_Wdf, mmTa(feat, dhd))
-    acc(i_Wds, mmTa(Sd, dhd))
-    acc(i_Bd, mmTa(X, dhd))
+    acc(i_Wde, mmTa(S, dhd))
     acc(i_bd, jnp.sum(dhd, axis=0, keepdims=True))
     dfeat = mmbT(dhd, ws[i_Wdf])
     if spec.compute_dx:
-        dSd = mmbT(dhd, ws[i_Wds])
-        dX = mmbT(dhd, ws[i_Bd])
+        dS = mmbT(dhd, ws[i_Wde])
 
     # hf = h_last @ Whf + bhf ; feat = hf[:, :W], alpha = hf[:, W]
     dhf = jnp.concatenate(
@@ -403,19 +426,16 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
     acc(i_bhf, jnp.sum(dhf, axis=0, keepdims=True))
     dh = mmbT(dhf, ws[i_Whf]) * (h_last > 0)
 
-    dSp = jnp.zeros_like(Sp) if spec.compute_dx else None
     for j in range(spec.depth - 1, 0, -1):
         ids = layer_idx[j - 1]
         h_prev = hs[j - 1]
-        if len(ids) == 4:
-            i_Ah, i_Aenc, i_Benc, i_bj = ids
+        if len(ids) == 3:
+            i_Ah, i_Aenc, i_bj = ids
             acc(i_Ah, mmTa(h_prev, dh))
-            acc(i_Aenc, mmTa(Sp, dh))
-            acc(i_Benc, mmTa(X, dh))
+            acc(i_Aenc, mmTa(S, dh))
             acc(i_bj, jnp.sum(dh, axis=0, keepdims=True))
             if spec.compute_dx:
-                dSp = dSp + mmbT(dh, ws[i_Aenc])
-                dX = dX + mmbT(dh, ws[i_Benc])
+                dS = dS + mmbT(dh, ws[i_Aenc])
             dh = mmbT(dh, ws[i_Ah]) * (h_prev > 0)
         else:
             i_Aj, i_bj = ids
@@ -423,24 +443,22 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
             acc(i_bj, jnp.sum(dh, axis=0, keepdims=True))
             dh = mmbT(dh, ws[i_Aj]) * (h_prev > 0)
 
-    # layer 0: h0 = relu(Sp @ A0 + X @ B0 + b0)
-    acc(i_A0, mmTa(Sp, dh))
-    acc(i_B0, mmTa(X, dh))
+    # layer 0: h0 = relu(S @ A0 + b0)
+    acc(i_A0, mmTa(S, dh))
     acc(i_b0, jnp.sum(dh, axis=0, keepdims=True))
     if spec.compute_dx:
-        dSp = dSp + mmbT(dh, ws[i_A0])
-        dX = dX + mmbT(dh, ws[i_B0])
+        dS = dS + mmbT(dh, ws[i_A0])
 
-        # through the encodings: Sp = sin(X Mp + phip)
-        Mp, phip, Md, phid = ws[0], ws[1], ws[2], ws[3]
-        dX = dX + mmbT(dSp * jnp.cos(mm(X, Mp) + phip), Mp)
-        dX = dX + mmbT(dSd * jnp.cos(mm(X, Md) + phid), Md)
-        dx_ref[:] = dX
+        # through the packed encoding: S = where(sin_cols, sin(T), T),
+        # T = X @ M + phi -> dT = where(sin_cols, cos(T), 1) * dS
+        M = ws[0]
+        dT = jnp.where(_sin_mask(spec, (1, spec.sw)), jnp.cos(T), 1.0) * dS
+        dx_ref[:] = mmbT(dT, M)
 
     # accumulate weight grads (grid-sequential on TPU)
     for k, r in enumerate(dw_refs):
-        g = grads[4 + k]
-        assert g is not None, f"missing grad for packed array {4 + k}"
+        g = grads[2 + k]
+        assert g is not None, f"missing grad for packed array {2 + k}"
 
         @pl.when(first)
         def _(r=r, g=g):
@@ -494,9 +512,9 @@ def _bwd_pallas(spec: FusedMLPSpec, packed: List[jnp.ndarray], x: jnp.ndarray, d
     w_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in packed
     ]
-    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed[4:]]
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed[2:]]
     dw_specs = [
-        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in packed[4:]
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for w in packed[2:]
     ]
     dx_spec = (
         [pl.BlockSpec((blk, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)]
@@ -539,7 +557,7 @@ def _vjp_bwd(spec, res, dout):
     packed, x = res
     dx, dws = _bwd_pallas(spec, packed, x, dout)
     # structural band/phase matrices get zero cotangents
-    dpacked = [jnp.zeros_like(p) for p in packed[:4]] + list(dws)
+    dpacked = [jnp.zeros_like(p) for p in packed[:2]] + list(dws)
     return dpacked, dx
 
 
