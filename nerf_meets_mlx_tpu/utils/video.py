@@ -14,7 +14,15 @@ def to8b(x) -> np.ndarray:
 
 
 def write_video(path: str | Path, frames: Iterable[np.ndarray], fps: int = 30) -> Path:
-    """Write an mp4 (falls back to per-frame PNGs if no ffmpeg backend)."""
+    """Write a real video for the orbit render (reference writes an mp4 via
+    the ffmpeg binary, __test_nerf.py:326-341). Fallback chain for headless
+    TPU hosts with no ffmpeg:
+
+      1. mp4 via imageio (only if an ffmpeg backend exists),
+      2. MJPEG AVI via the native multi-threaded encoder (utils/native_video),
+      3. animated GIF via PIL,
+      4. per-frame PNGs.
+    """
     import imageio.v2 as imageio
 
     path = Path(path)
@@ -22,11 +30,31 @@ def write_video(path: str | Path, frames: Iterable[np.ndarray], fps: int = 30) -
     try:
         writer = imageio.get_writer(path, fps=fps)
     except Exception:
-        out_dir = path.with_suffix("")
-        out_dir.mkdir(parents=True, exist_ok=True)
-        for i, fr in enumerate(frames):
-            imageio.imwrite(out_dir / f"frame_{i:04d}.png", fr)
-        return out_dir
+        frames = list(frames)
+        from nerf_meets_mlx_tpu.utils import native_video
+
+        try:
+            avi = native_video.write_avi(path.with_suffix(".avi"), np.stack(frames), fps=fps)
+        except Exception:
+            avi = None
+        if avi is not None:
+            return avi
+        try:
+            from PIL import Image
+
+            gif = path.with_suffix(".gif")
+            imgs = [Image.fromarray(fr) for fr in frames]
+            imgs[0].save(
+                gif, save_all=True, append_images=imgs[1:],
+                duration=max(1, int(1000 / fps)), loop=0,
+            )
+            return gif
+        except Exception:
+            out_dir = path.with_suffix("")
+            out_dir.mkdir(parents=True, exist_ok=True)
+            for i, fr in enumerate(frames):
+                imageio.imwrite(out_dir / f"frame_{i:04d}.png", fr)
+            return out_dir
     with writer:
         for fr in frames:
             writer.append_data(fr)
