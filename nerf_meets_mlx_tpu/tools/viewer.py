@@ -101,11 +101,12 @@ class LiveViewer:
                 elif path.startswith("/frame/"):
                     name = path[len("/frame/") :].removesuffix(".png")
                     with viewer._lock:
-                        data = viewer._frames.get(name)
-                    if data is None:
+                        entry = viewer._frames.get(name)
+                    if entry is None:
                         self._send(404, "text/plain", b"no frame")
                     else:
-                        self._send(200, "image/png", data)
+                        data, mime = entry
+                        self._send(200, mime, data)
                 elif path == "/state":
                     with viewer._lock:
                         body = json.dumps(
@@ -140,9 +141,25 @@ class LiveViewer:
             self._learning.wait(timeout)
 
     def update(self, name: str, img: np.ndarray):
-        data = _encode_png(img)
+        # prefer the native JPEG encoder (native/video_writer.cpp) — ~10x
+        # faster than the stdlib-zlib PNG path on full frames; PNG fallback
+        # keeps the viewer dependency-free when the toolchain is absent
+        entry = None
+        try:
+            from nerf_meets_mlx_tpu.utils import native_video
+
+            arr = (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
+            if arr.ndim == 2:
+                arr = np.repeat(arr[..., None], 3, axis=-1)
+            jpg = native_video.encode_jpeg(arr, quality=90)
+            if jpg is not None:
+                entry = (jpg, "image/jpeg")
+        except Exception:
+            entry = None
+        if entry is None:
+            entry = (_encode_png(img), "image/png")
         with self._lock:
-            self._frames[name] = data
+            self._frames[name] = entry
 
     def set_state(self, **kv):
         with self._lock:

@@ -73,6 +73,25 @@ def test_twin_matches_unfused_deep_skip():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def test_twin_wide_packed_tile():
+    """Frequencies large enough that the packed encode tile spans two
+    128-lane tiles (pos 17*6 + dir 4*6 + 6 passthrough = 132 -> sw 256):
+    offsets/sin-mask must stay correct across the lane boundary."""
+    mlp, pos, dir_, spec, params = _setup(
+        depth=4, width=64, skips=(2,), pos_f=17, dir_f=4, block=64
+    )
+    assert spec.sw == 256
+    pts, viewdirs = _rand_inputs(B=8, S=4)
+    ref = _unfused(params, mlp, pos, dir_, pts, viewdirs)
+    x = pack_inputs(pts, viewdirs)
+    packed = pack_params(spec, params)
+    out = fused_apply_reference(spec, packed, x)[:, :4].reshape(ref.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    # and through the Pallas kernel (interpreter off-TPU)
+    kout = fused_apply(spec, packed, x)[:, :4].reshape(ref.shape)
+    np.testing.assert_allclose(np.asarray(kout), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
 def test_pallas_forward_matches_twin():
     mlp, pos, dir_, spec, params = _setup(block=128)
     pts, viewdirs = _rand_inputs(B=32, S=8)  # 256 points = 2 blocks
