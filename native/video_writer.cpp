@@ -142,15 +142,19 @@ inline int bit_category(int v) {
 }
 
 // Forward 8x8 DCT (separable, straightforward; 160 frames is small work).
-void fdct8x8(const float* in, float* out) {
-  static float c[8][8];
-  static bool init = false;
-  if (!init) {
+struct CosTable {
+  float c[8][8];
+  CosTable() {
     for (int u = 0; u < 8; ++u)
       for (int x = 0; x < 8; ++x)
-        c[u][x] = std::cos((2 * x + 1) * u * 3.14159265358979323846 / 16.0);
-    init = true;
+        c[u][x] = float(std::cos((2 * x + 1) * u * 3.14159265358979323846 / 16.0));
   }
+};
+
+void fdct8x8(const float* in, float* out) {
+  // C++11 magic static: thread-safe one-time init (encode threads race here)
+  static const CosTable tbl;
+  const auto& c = tbl.c;
   float tmp[64];
   for (int u = 0; u < 8; ++u)
     for (int x = 0; x < 8; ++x) {

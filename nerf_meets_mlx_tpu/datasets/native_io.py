@@ -10,56 +10,34 @@ Python-only path always works.
 from __future__ import annotations
 
 import ctypes
-import subprocess
 from pathlib import Path
 from typing import Optional, Sequence
 
 import numpy as np
 
-_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
-_LIB_PATH = _NATIVE_DIR / "build" / "libpng_loader.so"
-_lib: Optional[ctypes.CDLL] = None
-_lib_tried = False
+from nerf_meets_mlx_tpu.utils.native_lib import load_native_lib
+
+
+def _register(lib: ctypes.CDLL) -> None:
+    lib.png_probe.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.png_probe.restype = ctypes.c_int
+    lib.png_decode_batch.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+    ]
+    lib.png_decode_batch.restype = ctypes.c_int
 
 
 def _load_lib() -> Optional[ctypes.CDLL]:
-    global _lib, _lib_tried
-    if _lib is not None or _lib_tried:
-        return _lib
-    _lib_tried = True
-    if not _LIB_PATH.exists() and (_NATIVE_DIR / "Makefile").exists():
-        try:
-            subprocess.run(
-                ["make", "-C", str(_NATIVE_DIR)],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
-            return None
-    if not _LIB_PATH.exists():
-        return None
-    try:
-        lib = ctypes.CDLL(str(_LIB_PATH))
-        lib.png_probe.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.png_probe.restype = ctypes.c_int
-        lib.png_decode_batch.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int,
-        ]
-        lib.png_decode_batch.restype = ctypes.c_int
-        _lib = lib
-    except OSError:
-        _lib = None
-    return _lib
+    return load_native_lib("libpng_loader.so", _register)
 
 
 def native_available() -> bool:

@@ -11,10 +11,11 @@ Design (v2 — packed single-tile encoding):
 
 * Measured on v5e-1 (tools_dev probes, 2026-08-19): a pure
   [N,256]@[256,256] GEMM chain runs at ~147 TFLOP/s in BOTH f32 and bf16;
-  relu is free; but `sin` costs ~3.5 us per [1024,128] tile and does NOT
-  overlap with MXU work (two independent half-block chains interleave at
-  the same rate as one). The v1 kernel evaluated sin over two separately
-  padded tiles (pos 60->128 cols, dir 24->128 cols) — ~41% of forward time.
+  relu is free; but `sin` does NOT overlap with MXU work (two independent
+  half-block chains interleave at the same rate as one) and sin+select
+  measure ~2.4 us per [1024,128] tile in this kernel (ablation: 1.86 ms of
+  the 12.42 ms fine-batch forward). The v1 kernel evaluated sin over two
+  separately padded tiles (pos 60->128 cols, dir 24->128 cols).
 * v2 packs everything the network ever taps into ONE [N, SW] tile S
   (SW = 128 for the lego shapes): pos sin/cos at cols [0, pos_sc),
   dir sin/cos at [pos_sc, pos_sc+dir_sc), and the RAW 6-dim input

@@ -23,7 +23,7 @@ import struct
 import threading
 import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict
+from typing import Dict, Tuple
 
 import numpy as np
 
@@ -51,12 +51,22 @@ setInterval(() => {
 </script></body></html>"""
 
 
+def _to_u8_rgb(img: np.ndarray) -> np.ndarray:
+    """float [0,1] (or u8) image, [H,W] / [H,W,1] / [H,W,3] -> u8 [H,W,3]."""
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, axis=-1)
+    return arr
+
+
 def _encode_png(img: np.ndarray) -> bytes:
     """Minimal RGB PNG encoder (stdlib zlib only — no imageio/PIL needed in
     the serving thread)."""
-    arr = (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
-    if arr.ndim == 2:
-        arr = np.repeat(arr[..., None], 3, axis=-1)
+    arr = _to_u8_rgb(img)
     h, w = arr.shape[:2]
     raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
 
@@ -75,7 +85,7 @@ def _encode_png(img: np.ndarray) -> bytes:
 
 class LiveViewer:
     def __init__(self, port: int = 8008, host: str = "0.0.0.0"):
-        self._frames: Dict[str, bytes] = {}
+        self._frames: Dict[str, Tuple[bytes, str]] = {}  # name -> (body, mime)
         self._state: Dict = {}
         self._lock = threading.Lock()
         self._learning = threading.Event()
@@ -144,20 +154,18 @@ class LiveViewer:
         # prefer the native JPEG encoder (native/video_writer.cpp) — ~10x
         # faster than the stdlib-zlib PNG path on full frames; PNG fallback
         # keeps the viewer dependency-free when the toolchain is absent
+        arr = _to_u8_rgb(img)
         entry = None
         try:
             from nerf_meets_mlx_tpu.utils import native_video
 
-            arr = (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
-            if arr.ndim == 2:
-                arr = np.repeat(arr[..., None], 3, axis=-1)
             jpg = native_video.encode_jpeg(arr, quality=90)
             if jpg is not None:
                 entry = (jpg, "image/jpeg")
         except Exception:
             entry = None
         if entry is None:
-            entry = (_encode_png(img), "image/png")
+            entry = (_encode_png(arr), "image/png")
         with self._lock:
             self._frames[name] = entry
 

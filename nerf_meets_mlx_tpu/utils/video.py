@@ -30,11 +30,16 @@ def write_video(path: str | Path, frames: Iterable[np.ndarray], fps: int = 30) -
     try:
         writer = imageio.get_writer(path, fps=fps)
     except Exception:
-        frames = list(frames)
         from nerf_meets_mlx_tpu.utils import native_video
 
+        # one contiguous u8 array, shared by all fallbacks (no list + stack
+        # double-materialization — a 160-frame 800x800 orbit is ~300 MB);
+        # u8 frames pass through, floats are [0,1] by framework convention
+        arr = np.stack(
+            [fr if np.asarray(fr).dtype == np.uint8 else to8b(fr) for fr in frames]
+        )
         try:
-            avi = native_video.write_avi(path.with_suffix(".avi"), np.stack(frames), fps=fps)
+            avi = native_video.write_avi(path.with_suffix(".avi"), arr, fps=fps)
         except Exception:
             avi = None
         if avi is not None:
@@ -43,7 +48,7 @@ def write_video(path: str | Path, frames: Iterable[np.ndarray], fps: int = 30) -
             from PIL import Image
 
             gif = path.with_suffix(".gif")
-            imgs = [Image.fromarray(fr) for fr in frames]
+            imgs = [Image.fromarray(fr) for fr in arr]
             imgs[0].save(
                 gif, save_all=True, append_images=imgs[1:],
                 duration=max(1, int(1000 / fps)), loop=0,
@@ -52,7 +57,7 @@ def write_video(path: str | Path, frames: Iterable[np.ndarray], fps: int = 30) -
         except Exception:
             out_dir = path.with_suffix("")
             out_dir.mkdir(parents=True, exist_ok=True)
-            for i, fr in enumerate(frames):
+            for i, fr in enumerate(arr):
                 imageio.imwrite(out_dir / f"frame_{i:04d}.png", fr)
             return out_dir
     with writer:

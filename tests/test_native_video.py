@@ -86,6 +86,26 @@ def test_avi_first_frame_decodes(tmp_path):
     assert 10 * np.log10(255.0**2 / mse) > 35.0
 
 
+def test_float_and_gray_inputs():
+    """Float [0,1] frames must not be silently truncated to black, and
+    single-channel frames expand rather than over-read in C++."""
+    from PIL import Image
+
+    f = np.full((16, 16, 3), 0.5, np.float32)
+    jpg = native_video.encode_jpeg(f, quality=95)
+    dec = np.asarray(Image.open(io.BytesIO(jpg)).convert("RGB"), np.float32)
+    assert abs(dec.mean() - 127.5) < 3.0  # not black
+
+    g = np.random.rand(16, 16, 1).astype(np.float32)
+    assert native_video.encode_jpeg(g) is not None  # expanded, no OOB read
+
+    with pytest.raises(ValueError):
+        native_video.encode_jpeg(np.zeros((16, 16, 4), np.uint8))  # RGBA rejected
+
+    path = native_video.write_avi("/tmp/_f.avi", np.full((2, 16, 16, 3), 0.5), fps=5)
+    assert path is not None and path.stat().st_size > 200
+
+
 def test_write_video_falls_back_to_avi(tmp_path, monkeypatch):
     """With no ffmpeg backend (this environment), write_video should produce
     the native AVI, not a PNG directory."""
