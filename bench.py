@@ -26,22 +26,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_bench_setup(n_rand: int = 4096, fused: bool = True):
-    from nerf_meets_mlx_tpu.config import lego_hierarchical
+def make_bench_setup(n_rand: int = 4096, fused: bool = True, preset: str = "lego_hierarchical"):
+    from nerf_meets_mlx_tpu.config import PRESETS
     from nerf_meets_mlx_tpu.engine.train_state import create_train_state
     from nerf_meets_mlx_tpu.engine.trainer import make_nerf_train_step
     from nerf_meets_mlx_tpu.models import create_nerf
 
-    cfg = lego_hierarchical()
+    cfg = PRESETS[preset]()
     cfg = cfg.replace(
-        train=dataclasses.replace(cfg.train, n_rand=n_rand),
-        use_fused_kernel=fused and jax.default_backend() == "tpu",
+        train=dataclasses.replace(cfg.train, n_rand=n_rand, precrop_iters=0),
+        use_fused_kernel=(
+            fused and jax.default_backend() == "tpu"
+            and cfg.pos_encoding.kind == "sinusoidal"
+        ),
     )
     model = create_nerf(cfg)
     H = W = 400
     focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
     step = make_nerf_train_step(model, H, W, focal)
-    state = create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train)
+    occ = None
+    if cfg.render.occupancy:
+        from nerf_meets_mlx_tpu.acceleration.occupancy import init_occupancy_grid
+
+        occ = init_occupancy_grid(cfg.render.occ_resolution)
+    state = create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train, occ)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(size=(8, H, W, 3)), jnp.float32)
     poses = jnp.asarray(
@@ -54,8 +62,11 @@ def make_bench_setup(n_rand: int = 4096, fused: bool = True):
     return step, state, images, poses, n_rand
 
 
-def bench_train_step(n_warmup: int = 5, n_iters: int = 50, n_rand: int = 4096) -> float:
-    step, state, images, poses, n_rand = make_bench_setup(n_rand)
+def bench_train_step(
+    n_warmup: int = 5, n_iters: int = 50, n_rand: int = 4096,
+    preset: str = "lego_hierarchical",
+) -> float:
+    step, state, images, poses, n_rand = make_bench_setup(n_rand, preset=preset)
     key = jax.random.PRNGKey(0)
     for _ in range(n_warmup):
         state, aux = step(state, images, poses, key)
@@ -145,7 +156,10 @@ def main():
     if "--scaling" in sys.argv:
         bench_scaling()
         return
-    rays_per_sec = bench_train_step()
+    preset = "lego_hierarchical"
+    if "--preset" in sys.argv:  # e.g. --preset lego_occ: accelerated configs
+        preset = sys.argv[sys.argv.index("--preset") + 1]
+    rays_per_sec = bench_train_step(preset=preset)
 
     baseline_path = Path(__file__).parent / "bench_baseline.json"
     if baseline_path.exists():
@@ -154,13 +168,20 @@ def main():
         baseline = rays_per_sec
         baseline_path.write_text(json.dumps({"train_rays_per_sec": rays_per_sec}))
 
+    metric = (
+        "train_rays_per_sec"
+        if preset == "lego_hierarchical"
+        else f"train_rays_per_sec[{preset}]"
+    )
     print(
         json.dumps(
             {
-                "metric": "train_rays_per_sec",
+                "metric": metric,
                 "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
+                # vs_baseline is always against the same unfused-XLA
+                # reference-workload baseline (bench_baseline.json)
                 "vs_baseline": round(rays_per_sec / baseline, 3),
+                "unit": "rays/s",
             }
         )
     )
