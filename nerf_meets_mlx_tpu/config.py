@@ -248,6 +248,11 @@ class ExperimentConfig:
     # viewdir head. Off-TPU the kernel runs in interpreter mode, so tests
     # exercise identical code paths.
     use_fused_kernel: bool = False
+    # when the fused kernel is on, additionally run TRAINING through the
+    # one-launch forward+composite+loss-grad+backward kernel
+    # (kernels/fused_train.py) — eliminates the duplicated forward of the
+    # value_and_grad path. Ignored when use_fused_kernel is False.
+    use_fused_train: bool = True
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

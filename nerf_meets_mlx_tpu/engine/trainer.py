@@ -88,7 +88,29 @@ def nerf_loss_fn(
     viewdirs: Optional[jnp.ndarray] = None,
     occ_grid: Optional[jnp.ndarray] = None,
     occ_active=True,
+    fused_train: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    if fused_train:
+        # one-launch fwd+composite+loss-grad+bwd per level
+        # (kernels/fused_train.py): losses come back as raw SSE scalars
+        out = model.render_rays_train(
+            params, rays_o, rays_d, target, key, viewdirs=viewdirs,
+            occ_grid=occ_grid, occ_active=occ_active,
+        )
+        denom = jnp.float32(target.size)  # mean over [B, 3]
+        loss_c = out["sse_coarse"] / denom
+        loss = loss_c
+        aux = {"loss_coarse": loss_c}
+        if "sse_fine" in out:
+            loss_f = out["sse_fine"] / denom
+            loss = loss_c + loss_f
+            aux["loss_fine"] = loss_f
+            aux["psnr"] = mse_to_psnr(loss_f)
+        else:
+            aux["psnr"] = mse_to_psnr(loss_c)
+        aux["loss"] = loss
+        return loss, aux
+
     out = model.render_rays(
         params, rays_o, rays_d, key, train=True, viewdirs=viewdirs,
         occ_grid=occ_grid, occ_active=occ_active,
@@ -151,6 +173,7 @@ def make_nerf_train_step(
     """
     cfg = model.cfg
     tx = make_optimizer(cfg.train)
+    fused_train = model.supports_fused_train
     K = np.array(
         [[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float32
     )
@@ -171,7 +194,7 @@ def make_nerf_train_step(
         def loss_fn(p):
             return nerf_loss_fn(
                 model, p, rays_o, rays_d, target, k_render, viewdirs,
-                occ_grid=occ, occ_active=occ_active,
+                occ_grid=occ, occ_active=occ_active, fused_train=fused_train,
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -340,25 +340,23 @@ def _fwd_kernel(spec: FusedMLPSpec, x_ref, *refs):
     out_ref[:] = _forward_core(spec, x_ref[:], ws)
 
 
-def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
-    """Recompute forward for this block, then backprop; accumulate dW/db into
-    grid-invariant output blocks and write per-block dX."""
+def _backprop_core(
+    spec: FusedMLPSpec,
+    ws: List[jnp.ndarray],
+    residuals,
+    dout: jnp.ndarray,
+):
+    """Backprop `dout` [N, 8] through the GEMM chain given forward residuals.
+
+    Returns (grads, dx): `grads` is a list aligned with the packed array list
+    (entries 0/1 — the structural band matrix/phases — stay None), `dx` is
+    dL/dX [N, 8] or None when spec.compute_dx is False. Shared by the plain
+    backward kernel and the fused train (forward+composite+backward) kernel.
+    """
     n_w = _n_layer_arrays(spec)
-    w_refs = refs[:n_w]
-    if spec.compute_dx:
-        dx_ref = refs[n_w]
-        dw_refs = refs[n_w + 1 :]
-    else:
-        dx_ref = None
-        dw_refs = refs[n_w:]
-    ws = [r[:] for r in w_refs]
-    X = x_ref[:]
-    dout = dout_ref[:]
+    T, S, hs, feat, hd = residuals
 
     cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
-
-    def mm(a, b):
-        return jnp.dot(a.astype(cdt), b.astype(cdt), preferred_element_type=jnp.float32)
 
     def mmTa(a, b):
         """a.T @ b without materializing the transpose (contract dim 0)."""
@@ -373,11 +371,6 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
             a.astype(cdt), b.astype(cdt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
-    out, (T, S, hs, feat, hd) = _forward_core(spec, X, ws, want_residuals=True)
-    del out
-
-    first = pl.program_id(0) == 0
 
     grads: List[Optional[jnp.ndarray]] = [None] * n_w
 
@@ -447,6 +440,7 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
     # layer 0: h0 = relu(S @ A0 + b0)
     acc(i_A0, mmTa(S, dh))
     acc(i_b0, jnp.sum(dh, axis=0, keepdims=True))
+    dx = None
     if spec.compute_dx:
         dS = dS + mmbT(dh, ws[i_A0])
 
@@ -454,9 +448,14 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
         # T = X @ M + phi -> dT = where(sin_cols, cos(T), 1) * dS
         M = ws[0]
         dT = jnp.where(_sin_mask(spec, (1, spec.sw)), jnp.cos(T), 1.0) * dS
-        dx_ref[:] = mmbT(dT, M)
+        dx = mmbT(dT, M)
+    return grads, dx
 
-    # accumulate weight grads (grid-sequential on TPU)
+
+def _accumulate_dw(grads: List[Optional[jnp.ndarray]], dw_refs) -> None:
+    """Accumulate per-block weight grads into grid-invariant output blocks
+    (TPU grids are sequential: zero-init on the first grid step)."""
+    first = pl.program_id(0) == 0
     for k, r in enumerate(dw_refs):
         g = grads[2 + k]
         assert g is not None, f"missing grad for packed array {2 + k}"
@@ -468,6 +467,28 @@ def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
         @pl.when(jnp.logical_not(first))
         def _(r=r, g=g):
             r[:] = r[:] + g
+
+
+def _bwd_kernel(spec: FusedMLPSpec, x_ref, dout_ref, *refs):
+    """Recompute forward for this block, then backprop; accumulate dW/db into
+    grid-invariant output blocks and write per-block dX."""
+    n_w = _n_layer_arrays(spec)
+    w_refs = refs[:n_w]
+    if spec.compute_dx:
+        dx_ref = refs[n_w]
+        dw_refs = refs[n_w + 1 :]
+    else:
+        dx_ref = None
+        dw_refs = refs[n_w:]
+    ws = [r[:] for r in w_refs]
+    X = x_ref[:]
+
+    out, residuals = _forward_core(spec, X, ws, want_residuals=True)
+    del out
+    grads, dx = _backprop_core(spec, ws, residuals, dout_ref[:])
+    if spec.compute_dx:
+        dx_ref[:] = dx
+    _accumulate_dw(grads, dw_refs)
 
 
 # ---------------------------------------------------------------------------

@@ -123,6 +123,45 @@ class NeRFModel:
             x_dir = self.dir_enc.apply(params["dir_enc"], dirs)
         return nerf_mlp_apply(mlp_params, mlp_cfg, x_pos, x_dir)
 
+    # -- shared preamble: per-ray interval + coarse z samples ----------------
+
+    def _coarse_z(
+        self,
+        rays_o: jnp.ndarray,
+        rays_d: jnp.ndarray,
+        k_jitter: jax.Array,
+        train: bool,
+        occ_grid: Optional[jnp.ndarray],
+        occ_active,
+    ) -> jnp.ndarray:
+        """[near, far] tightening (AABB slab + learned occupancy) and the
+        stratified coarse z samples — the parameter-free front of both the
+        standard and fused-train render paths."""
+        rcfg = self.cfg.render
+        B = rays_o.shape[0]
+        near = jnp.full((B, 1), rcfg.near, dtype=jnp.float32)
+        far = jnp.full((B, 1), rcfg.far, dtype=jnp.float32)
+        if rcfg.aabb is not None:
+            # empty-space skipping: concentrate the static sample budget in
+            # the ray segment intersecting the scene box (config.py aabb)
+            from nerf_meets_mlx_tpu.cameras.rays import intersect_aabb
+
+            near, far = intersect_aabb(
+                rays_o, rays_d, rcfg.aabb[:3], rcfg.aabb[3:], near, far
+            )
+        if rcfg.occupancy and occ_grid is not None:
+            from nerf_meets_mlx_tpu.acceleration.occupancy import tighten_near_far
+
+            near, far = tighten_near_far(
+                occ_grid, rays_o, rays_d, near, far, rcfg.aabb,
+                rcfg.occ_threshold, rcfg.occ_n_probes, active=occ_active,
+            )
+        sample_fn = sample_z_lindisp if rcfg.lindisp else sample_z_uniform
+        z_vals = sample_fn(near, far, rcfg.n_samples)  # [B, S]
+        if train and rcfg.perturb > 0.0:
+            z_vals = stratified_jitter(k_jitter, z_vals, rcfg.perturb)
+        return z_vals
+
     # -- full hierarchical ray rendering ------------------------------------
 
     def render_rays(
@@ -160,27 +199,7 @@ class NeRFModel:
             key = jax.random.PRNGKey(0)
         k_jitter, k_noise_c, k_imp, k_noise_f = jax.random.split(key, 4)
 
-        near = jnp.full((B, 1), rcfg.near, dtype=jnp.float32)
-        far = jnp.full((B, 1), rcfg.far, dtype=jnp.float32)
-        if rcfg.aabb is not None:
-            # empty-space skipping: concentrate the static sample budget in
-            # the ray segment intersecting the scene box (config.py aabb)
-            from nerf_meets_mlx_tpu.cameras.rays import intersect_aabb
-
-            near, far = intersect_aabb(
-                rays_o, rays_d, rcfg.aabb[:3], rcfg.aabb[3:], near, far
-            )
-        if rcfg.occupancy and occ_grid is not None:
-            from nerf_meets_mlx_tpu.acceleration.occupancy import tighten_near_far
-
-            near, far = tighten_near_far(
-                occ_grid, rays_o, rays_d, near, far, rcfg.aabb,
-                rcfg.occ_threshold, rcfg.occ_n_probes, active=occ_active,
-            )
-        sample_fn = sample_z_lindisp if rcfg.lindisp else sample_z_uniform
-        z_vals = sample_fn(near, far, rcfg.n_samples)  # [B, S]
-        if train and rcfg.perturb > 0.0:
-            z_vals = stratified_jitter(k_jitter, z_vals, rcfg.perturb)
+        z_vals = self._coarse_z(rays_o, rays_d, k_jitter, train, occ_grid, occ_active)
 
         pts = rays_o[..., None, :] + z_vals[..., :, None] * rays_d[..., None, :]
         raw_c = self.query(params, "coarse", pts, viewdirs)
@@ -241,6 +260,133 @@ class NeRFModel:
                 acc_map=out_f["acc_map"],
                 depth_map=out_f["depth_map"],
             )
+
+        return ret
+
+    # -- fused train path (one kernel launch per level) ----------------------
+
+    @property
+    def supports_fused_train(self) -> bool:
+        """True when training can run through the one-launch
+        forward+composite+loss-grad+backward kernel (kernels/fused_train.py):
+        fused kernel enabled and every level is a sinusoidal+viewdirs MLP."""
+        cfg = self.cfg
+        if not (cfg.use_fused_kernel and cfg.use_fused_train):
+            return False
+        if not self._use_fused(cfg.mlp):
+            return False
+        if cfg.render.n_importance > 0 and not self._use_fused(
+            cfg.mlp_fine or cfg.mlp
+        ):
+            return False
+        return True
+
+    def render_rays_train(
+        self,
+        params: Params,
+        rays_o: jnp.ndarray,     # [B, 3]
+        rays_d: jnp.ndarray,     # [B, 3] (unnormalized)
+        target: jnp.ndarray,     # [B, 3]
+        key: jax.Array,
+        viewdirs: Optional[jnp.ndarray] = None,
+        occ_grid: Optional[jnp.ndarray] = None,
+        occ_active=True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Train-mode hierarchical render through the fused train kernel.
+
+        Per level, ONE Pallas launch runs encode+MLP forward, the
+        transmittance scan and color composite, the closed-form MSE
+        cotangent 2·(rgb−target), and the full backward — no duplicated
+        forward (the value_and_grad path pays the forward twice: once for
+        the loss, once as the backward kernel's recompute).
+
+        Returns {"sse_coarse", "rgb_coarse", "z_vals", "weights"
+        [, "sse_fine", "rgb_fine"]}. Differentiable ONLY through sse_*
+        (loss = (sse_coarse + sse_fine) / target.size); the maps/weights are
+        stop-gradient, matching the reference's detached sampler
+        (@torch.no_grad, sampling/__init__.py:101).
+        """
+        from nerf_meets_mlx_tpu.kernels.fused_mlp import FusedMLPSpec, pack_params
+        from nerf_meets_mlx_tpu.kernels.fused_train import (
+            TrainSpec,
+            default_rays_block,
+            fused_train_apply,
+            pack_inputs_train,
+        )
+
+        rcfg = self.cfg.render
+        B = rays_o.shape[0]
+        if viewdirs is None:
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        k_jitter, k_noise_c, k_imp, k_noise_f = jax.random.split(key, 4)
+
+        z_vals = self._coarse_z(rays_o, rays_d, k_jitter, True, occ_grid, occ_active)
+        dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)  # [B, 1]
+
+        def build_x(z, k_noise):
+            # per-point delta (1e10 terminal, scaled by ||rays_d|| —
+            # render.py:46-59) and pre-scaled density noise ride in the two
+            # spare input columns
+            pts = rays_o[..., None, :] + z[..., :, None] * rays_d[..., None, :]
+            deltas = jnp.concatenate(
+                [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1
+            ) * dnorm
+            if rcfg.raw_noise_std > 0.0:
+                noise = jax.random.normal(k_noise, z.shape) * rcfg.raw_noise_std
+            else:
+                noise = jnp.zeros_like(z)
+            return pack_inputs_train(pts, viewdirs, deltas, noise)
+
+        def tspec_for(n_samples: int) -> TrainSpec:
+            return TrainSpec(
+                n_samples=n_samples,
+                rays_block=default_rays_block(n_samples),
+                n_rays=B,
+                mode=rcfg.compositing,
+                density_activation=rcfg.density_activation,
+                white_bkgd=rcfg.white_bkgd,
+            )
+
+        spec_c = FusedMLPSpec.from_configs(
+            self.cfg.mlp, self.cfg.pos_encoding, self.cfg.dir_encoding,
+            compute_dx=False,
+        )
+        sse_c, rgb_c, weights = fused_train_apply(
+            spec_c,
+            tspec_for(rcfg.n_samples),
+            pack_params(spec_c, params["coarse"]),
+            build_x(z_vals, k_noise_c),
+            target,
+        )
+        rgb_c = jax.lax.stop_gradient(rgb_c)
+        weights = jax.lax.stop_gradient(weights)
+        ret = {
+            "sse_coarse": sse_c,
+            "rgb_coarse": rgb_c,
+            "z_vals": z_vals,
+            "weights": weights,
+        }
+
+        if rcfg.n_importance > 0:
+            z_imp = sample_pdf(
+                k_imp, z_vals, weights, rcfg.n_importance, deterministic=False
+            )
+            z_all = merge_z(z_vals, z_imp)
+            level = "fine" if "fine" in params else "coarse"
+            spec_f = FusedMLPSpec.from_configs(
+                self.cfg.mlp_fine or self.cfg.mlp,
+                self.cfg.pos_encoding,
+                self.cfg.dir_encoding,
+                compute_dx=False,
+            )
+            sse_f, rgb_f, _ = fused_train_apply(
+                spec_f,
+                tspec_for(rcfg.n_samples + rcfg.n_importance),
+                pack_params(spec_f, params[level]),
+                build_x(z_all, k_noise_f),
+                target,
+            )
+            ret.update(sse_fine=sse_f, rgb_fine=jax.lax.stop_gradient(rgb_f))
 
         return ret
 

@@ -1,0 +1,178 @@
+"""Fused train kernel (kernels/fused_train.py): one launch per level doing
+forward → compositing → MSE cotangent → backward.
+
+Off-TPU the pallas_call runs in interpreter mode, so the actual kernel logic
+executes. Three layers of checks:
+
+1. kernel vs its differentiable jnp twin (values AND parameter grads),
+   across compositing modes / density activations / white_bkgd / noise /
+   ray counts that don't divide the block;
+2. twin vs the standard rendering pipeline (raw2outputs semantics);
+3. a full train step with fused_train on vs off: identical losses and
+   updated parameters.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_meets_mlx_tpu.config import lego_hierarchical
+from nerf_meets_mlx_tpu.engine.train_state import create_train_state
+from nerf_meets_mlx_tpu.engine.trainer import make_nerf_train_step
+from nerf_meets_mlx_tpu.kernels.fused_mlp import FusedMLPSpec, pack_params
+from nerf_meets_mlx_tpu.kernels.fused_train import (
+    TrainSpec,
+    fused_train_apply,
+    fused_train_reference,
+    pack_inputs_train,
+)
+from nerf_meets_mlx_tpu.models import create_nerf
+from nerf_meets_mlx_tpu.rendering.volume import raw2outputs
+
+
+def _setup(R=10, S=16, noise=0.0, seed=0):
+    cfg = lego_hierarchical()
+    model = create_nerf(cfg)
+    params = model.init(jax.random.PRNGKey(seed))
+    spec = FusedMLPSpec.from_configs(
+        cfg.mlp, cfg.pos_encoding, cfg.dir_encoding, compute_dx=False
+    )
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.normal(size=(R, S, 3)), jnp.float32)
+    dirs = jnp.asarray(rng.normal(size=(R, 3)), jnp.float32)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    deltas = jnp.asarray(rng.uniform(0.01, 0.1, size=(R, S)), jnp.float32)
+    nz = jnp.asarray(rng.normal(size=(R, S)) * noise, jnp.float32)
+    target = jnp.asarray(rng.uniform(size=(R, 3)), jnp.float32)
+    x = pack_inputs_train(pts, dirs, deltas, nz)
+    return cfg, model, params, spec, x, target
+
+
+@pytest.mark.parametrize(
+    "mode,act,white",
+    [
+        ("canonical", "softplus", True),
+        ("canonical", "relu", False),
+        ("reference", "softplus", False),
+        ("reference", "softplus", True),
+    ],
+)
+def test_kernel_matches_twin_values_and_grads(mode, act, white):
+    R, S = 10, 16  # R=10 with rays_block=4: exercises the padded-ray mask
+    cfg, model, params, spec, x, target = _setup(R=R, S=S, noise=0.01)
+    tspec = TrainSpec(
+        n_samples=S, rays_block=4, n_rays=R, mode=mode,
+        density_activation=act, white_bkgd=white,
+    )
+
+    def loss_k(p):
+        sse, rgb, wts = fused_train_apply(
+            spec, tspec, pack_params(spec, p), x, target
+        )
+        return sse / (R * 3), (rgb, wts)
+
+    def loss_t(p):
+        sse, rgb, wts = fused_train_reference(
+            spec, tspec, pack_params(spec, p), x, target
+        )
+        return sse / (R * 3), (rgb, wts)
+
+    (lk, (rgbk, wtsk)), gk = jax.value_and_grad(loss_k, has_aux=True)(
+        params["coarse"]
+    )
+    (lt, (rgbt, wtst)), gt = jax.value_and_grad(loss_t, has_aux=True)(
+        params["coarse"]
+    )
+    np.testing.assert_allclose(lk, lt, rtol=1e-5)
+    np.testing.assert_allclose(rgbk, rgbt, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(wtsk, wtst, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(gt)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["canonical", "reference"])
+def test_twin_matches_raw2outputs(mode):
+    """The twin's compositing == rendering/volume.py's raw2outputs."""
+    R, S = 6, 12
+    cfg, model, params, spec, x, target = _setup(R=R, S=S)
+    # align the terminal bin with raw2outputs' 1e10 delta (render.py:46-59)
+    deltas = x[:, 6].reshape(R, S)
+    deltas = deltas.at[:, -1].set(1e10)
+    x = x.at[:, 6].set(deltas.reshape(-1))
+    tspec = TrainSpec(
+        n_samples=S, rays_block=2, n_rays=R, mode=mode,
+        density_activation="softplus", white_bkgd=True,
+    )
+    packed = pack_params(spec, params["coarse"])
+    sse, rgb, wts = fused_train_reference(spec, tspec, packed, x, target)
+
+    # reconstruct the standard path from the same raw outputs: the twin's
+    # delta already includes ||rays_d||, so feed unit rays_d and z = cumsum
+    from nerf_meets_mlx_tpu.kernels.fused_mlp import fused_apply_reference
+
+    raw = fused_apply_reference(spec, packed, x)[:, :4].reshape(R, S, 4)
+    raw = raw.at[..., 3].add(x[:, 7].reshape(R, S))  # noise column
+    z = jnp.cumsum(jnp.concatenate([jnp.zeros((R, 1)), deltas[:, :-1]], 1), 1)
+    out = raw2outputs(
+        raw, z, jnp.tile(jnp.array([[1.0, 0, 0]]), (R, 1)), mode=mode,
+        white_bkgd=True, density_activation="softplus",
+    )
+    np.testing.assert_allclose(wts, out["weights"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(rgb, out["rgb_map"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        sse, jnp.sum((out["rgb_map"] - target) ** 2), rtol=1e-5
+    )
+
+
+def test_train_step_fused_vs_standard():
+    """End-to-end: one optimizer step, fused-train path vs value_and_grad
+    through render_rays — same losses, same updated parameters."""
+    H = W = 32
+    focal = 30.0
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(2, H, W, 3)), jnp.float32)
+    poses = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None, :3, :4], (2, 1, 1))
+    poses = poses.at[:, 2, 3].set(4.0)
+
+    def one_step(use_ft):
+        cfg = lego_hierarchical()
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, n_rand=37, precrop_iters=0),
+            render=dataclasses.replace(cfg.render, n_samples=16, n_importance=16),
+            use_fused_kernel=True,
+            use_fused_train=use_ft,
+        )
+        model = create_nerf(cfg)
+        assert model.supports_fused_train == use_ft
+        state = create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train)
+        step = make_nerf_train_step(model, H, W, focal)
+        state, aux = step(state, images, poses, jax.random.PRNGKey(7))
+        return state, {k: float(v) for k, v in aux.items()}
+
+    s1, a1 = one_step(True)
+    s0, a0 = one_step(False)
+    for k in a0:
+        np.testing.assert_allclose(a1[k], a0[k], rtol=5e-4, atol=1e-6)
+    for x, y in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s0.params)
+    ):
+        # Adam divides by sqrt(v): float-level grad differences on
+        # near-zero moments show up scaled — tolerate 1e-4 absolute
+        np.testing.assert_allclose(x, y, rtol=5e-3, atol=1e-4)
+
+
+def test_fused_train_gate():
+    """supports_fused_train is off for non-sinusoidal encodings and when
+    the flags are off."""
+    cfg = lego_hierarchical().replace(use_fused_kernel=True, use_fused_train=True)
+    assert create_nerf(cfg).supports_fused_train
+    assert not create_nerf(cfg.replace(use_fused_train=False)).supports_fused_train
+    assert not create_nerf(cfg.replace(use_fused_kernel=False)).supports_fused_train
+    from nerf_meets_mlx_tpu.config import lego_ingp
+
+    assert not create_nerf(
+        lego_ingp().replace(use_fused_kernel=True)
+    ).supports_fused_train
