@@ -89,13 +89,14 @@ def nerf_loss_fn(
     occ_grid: Optional[jnp.ndarray] = None,
     occ_active=True,
     fused_train: bool = False,
+    shard_info=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     if fused_train:
         # one-launch fwd+composite+loss-grad+bwd per level
         # (kernels/fused_train.py): losses come back as raw SSE scalars
         out = model.render_rays_train(
             params, rays_o, rays_d, target, key, viewdirs=viewdirs,
-            occ_grid=occ_grid, occ_active=occ_active,
+            occ_grid=occ_grid, occ_active=occ_active, shard_info=shard_info,
         )
         denom = jnp.float32(target.size)  # mean over [B, 3]
         loss_c = out["sse_coarse"] / denom
@@ -113,7 +114,7 @@ def nerf_loss_fn(
 
     out = model.render_rays(
         params, rays_o, rays_d, key, train=True, viewdirs=viewdirs,
-        occ_grid=occ_grid, occ_active=occ_active,
+        occ_grid=occ_grid, occ_active=occ_active, shard_info=shard_info,
     )
     loss_c = jnp.mean((out["rgb_coarse"] - target) ** 2)
     loss = loss_c

@@ -42,6 +42,23 @@ from nerf_meets_mlx_tpu.sampling.importance import sample_pdf, merge_z
 Params = Dict[str, Any]
 
 
+def _shard_rand(draw_fn, key, shape, shard_info):
+    """Random draw that is invariant to data-parallel sharding.
+
+    With shard_info = (n_global, offset), the draw happens at the GLOBAL
+    batch shape and the local shard is sliced out — so the shard_map train
+    step (parallel/sharded_train.py) consumes exactly the random stream the
+    single-device program would, and sharded == unsharded holds bit-for-bit
+    in exact math. The redundant generation costs ~1M threefry lanes per
+    device per step — noise. shard_info=None is the single-device fast path.
+    """
+    if shard_info is None:
+        return draw_fn(key, shape)
+    n_global, offset = shard_info
+    full = draw_fn(key, (n_global,) + tuple(shape[1:]))
+    return jax.lax.dynamic_slice_in_dim(full, offset, shape[0], 0)
+
+
 @dataclasses.dataclass(frozen=True)
 class NeRFModel:
     """Static model description; all state lives in the params pytree."""
@@ -133,6 +150,7 @@ class NeRFModel:
         train: bool,
         occ_grid: Optional[jnp.ndarray],
         occ_active,
+        shard_info=None,
     ) -> jnp.ndarray:
         """[near, far] tightening (AABB slab + learned occupancy) and the
         stratified coarse z samples — the parameter-free front of both the
@@ -159,7 +177,8 @@ class NeRFModel:
         sample_fn = sample_z_lindisp if rcfg.lindisp else sample_z_uniform
         z_vals = sample_fn(near, far, rcfg.n_samples)  # [B, S]
         if train and rcfg.perturb > 0.0:
-            z_vals = stratified_jitter(k_jitter, z_vals, rcfg.perturb)
+            t = _shard_rand(jax.random.uniform, k_jitter, z_vals.shape, shard_info)
+            z_vals = stratified_jitter(k_jitter, z_vals, rcfg.perturb, t=t)
         return z_vals
 
     # -- full hierarchical ray rendering ------------------------------------
@@ -174,6 +193,7 @@ class NeRFModel:
         viewdirs: Optional[jnp.ndarray] = None,  # [B, 3] normalized
         occ_grid: Optional[jnp.ndarray] = None,  # [R, R, R] learned density
         occ_active=True,                         # bool / traced warmup gate
+        shard_info=None,                         # (n_global, offset) under shard_map
     ) -> Dict[str, jnp.ndarray]:
         """Render a batch of rays; coarse + (optional) fine pass.
 
@@ -199,7 +219,14 @@ class NeRFModel:
             key = jax.random.PRNGKey(0)
         k_jitter, k_noise_c, k_imp, k_noise_f = jax.random.split(key, 4)
 
-        z_vals = self._coarse_z(rays_o, rays_d, k_jitter, train, occ_grid, occ_active)
+        z_vals = self._coarse_z(
+            rays_o, rays_d, k_jitter, train, occ_grid, occ_active, shard_info
+        )
+
+        def draw_noise(k, shape):
+            if not (train and rcfg.raw_noise_std > 0.0):
+                return None
+            return _shard_rand(jax.random.normal, k, shape, shard_info)
 
         pts = rays_o[..., None, :] + z_vals[..., :, None] * rays_d[..., None, :]
         raw_c = self.query(params, "coarse", pts, viewdirs)
@@ -212,6 +239,7 @@ class NeRFModel:
             noise_key=k_noise_c,
             white_bkgd=rcfg.white_bkgd,
             density_activation=rcfg.density_activation,
+            noise=draw_noise(k_noise_c, z_vals.shape),
         )
 
         ret = {
@@ -229,12 +257,18 @@ class NeRFModel:
 
         if rcfg.n_importance > 0:
             # detached resampling stage (reference: torch.no_grad round-trip)
+            u_imp = None
+            if train and shard_info is not None:
+                u_imp = _shard_rand(
+                    jax.random.uniform, k_imp, (B, rcfg.n_importance), shard_info
+                )
             z_imp = sample_pdf(
                 k_imp,
                 z_vals,
                 out_c["weights"],
                 rcfg.n_importance,
                 deterministic=not train,
+                u=u_imp,
             )
             z_all = merge_z(z_vals, z_imp)  # [B, S + S_imp]
             pts_f = rays_o[..., None, :] + z_all[..., :, None] * rays_d[..., None, :]
@@ -249,6 +283,7 @@ class NeRFModel:
                 noise_key=k_noise_f,
                 white_bkgd=rcfg.white_bkgd,
                 density_activation=rcfg.density_activation,
+                noise=draw_noise(k_noise_f, z_all.shape),
             )
             ret.update(
                 rgb_fine=out_f["rgb_map"],
@@ -291,6 +326,7 @@ class NeRFModel:
         viewdirs: Optional[jnp.ndarray] = None,
         occ_grid: Optional[jnp.ndarray] = None,
         occ_active=True,
+        shard_info=None,  # (n_global, offset) under the shard_map step
     ) -> Dict[str, jnp.ndarray]:
         """Train-mode hierarchical render through the fused train kernel.
 
@@ -320,7 +356,9 @@ class NeRFModel:
             viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         k_jitter, k_noise_c, k_imp, k_noise_f = jax.random.split(key, 4)
 
-        z_vals = self._coarse_z(rays_o, rays_d, k_jitter, True, occ_grid, occ_active)
+        z_vals = self._coarse_z(
+            rays_o, rays_d, k_jitter, True, occ_grid, occ_active, shard_info
+        )
         dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)  # [B, 1]
 
         def build_x(z, k_noise):
@@ -332,7 +370,10 @@ class NeRFModel:
                 [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1
             ) * dnorm
             if rcfg.raw_noise_std > 0.0:
-                noise = jax.random.normal(k_noise, z.shape) * rcfg.raw_noise_std
+                noise = (
+                    _shard_rand(jax.random.normal, k_noise, z.shape, shard_info)
+                    * rcfg.raw_noise_std
+                )
             else:
                 noise = jnp.zeros_like(z)
             return pack_inputs_train(pts, viewdirs, deltas, noise)
@@ -368,8 +409,14 @@ class NeRFModel:
         }
 
         if rcfg.n_importance > 0:
+            u_imp = None
+            if shard_info is not None:
+                u_imp = _shard_rand(
+                    jax.random.uniform, k_imp, (B, rcfg.n_importance), shard_info
+                )
             z_imp = sample_pdf(
-                k_imp, z_vals, weights, rcfg.n_importance, deterministic=False
+                k_imp, z_vals, weights, rcfg.n_importance, deterministic=False,
+                u=u_imp,
             )
             z_all = merge_z(z_vals, z_imp)
             level = "fine" if "fine" in params else "coarse"

@@ -1,15 +1,32 @@
-"""Multi-chip data-parallel training step.
+"""Multi-chip data-parallel training step (shard_map).
 
 Rays shard over the mesh's ``data`` axis; params/optimizer state replicate.
-The step body is the SAME fused computation as the single-chip path
-(engine/trainer.py) — sharding is expressed with `with_sharding_constraint`
-on the ray batch and replicated in/out shardings on the state, and XLA GSPMD
-partitions the program and inserts the gradient all-reduce (psum over ICI)
-automatically, overlapping it with the backward pass.
+The per-device body is the SAME loss as the single-chip path
+(engine/trainer.py nerf_loss_fn, including the fused train kernel when
+enabled) wrapped in `shard_map`: each device runs its local rays through its
+local kernels and the gradient all-reduce is one explicit `pmean` over ICI,
+which XLA overlaps with the backward pass.
 
-This replaces nothing in the reference (it has no distributed layer at all);
-it is the framework's scaling path per BASELINE.md (≥90% rays/s efficiency
-1 host -> N hosts, weak scaling by growing n_rand with chip count).
+Why shard_map rather than GSPMD sharding constraints: the hot path is a
+Pallas kernel (kernels/fused_mlp.py / fused_train.py), and GSPMD has no
+partitioning rule for pallas_call — on a real multi-chip mesh it would
+replicate the kernel (every chip computing the FULL batch) instead of
+partitioning it. shard_map makes the per-device extent explicit, so the
+kernel only ever sees its local shard.
+
+RNG is shard-invariant: every random draw inside the step happens at the
+GLOBAL batch shape with the shared key, and each device slices its shard
+(models/factory._shard_rand). Sharded and single-device programs therefore
+consume identical random streams, and `sharded step == single-device step`
+holds to float tolerance (tests/test_parallel.py). Cost: each device
+generates the full batch's random bits redundantly (~1M threefry lanes per
+step) — negligible at pod-slice scale and bounded by n_rand, not by device
+count times n_rand.
+
+This replaces nothing in the reference (it has no distributed layer at all,
+SURVEY.md §2 checklist); it is the framework's scaling path per BASELINE.md
+(≥90% rays/s efficiency 1 host -> N hosts, weak scaling by growing n_rand
+with chip count).
 """
 
 from __future__ import annotations
@@ -17,9 +34,15 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from nerf_meets_mlx_tpu.engine.train_state import TrainState, make_optimizer
 from nerf_meets_mlx_tpu.engine.trainer import (
@@ -28,7 +51,8 @@ from nerf_meets_mlx_tpu.engine.trainer import (
     sample_train_rays,
 )
 from nerf_meets_mlx_tpu.models.factory import NeRFModel
-from nerf_meets_mlx_tpu.parallel.mesh import data_sharding, replicated
+from nerf_meets_mlx_tpu.ops.metrics import mse_to_psnr
+from nerf_meets_mlx_tpu.parallel.mesh import replicated
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
@@ -53,42 +77,64 @@ def make_sharded_nerf_train_step(
     n_rand = (n_rand_per_device * n_dev) if n_rand_per_device else cfg.train.n_rand
     if n_rand % n_dev:
         raise ValueError(f"global ray batch {n_rand} not divisible by {n_dev} devices")
+    local_b = n_rand // n_dev
+    fused_train = model.supports_fused_train
+    axis = mesh.axis_names[0]
     K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float32)
-    ray_shard = data_sharding(mesh)
-    repl = replicated(mesh)
+
+    has_occ = cfg.render.occupancy
+
+    def device_fn(params, rays_o, rays_d, target, viewdirs, occ, occ_active, key):
+        """Runs on each device with its local ray shard."""
+        idx = jax.lax.axis_index(axis)
+        shard_info = (n_rand, idx * local_b)
+
+        def loss_fn(p):
+            return nerf_loss_fn(
+                model, p, rays_o, rays_d, target, key,
+                viewdirs=viewdirs if cfg.render.ndc else None,
+                occ_grid=occ if has_occ else None,
+                occ_active=occ_active,
+                fused_train=fused_train,
+                shard_info=shard_info,
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # replicated params over sharded rays: one explicit all-reduce,
+        # overlapped with the backward by XLA
+        grads = jax.lax.pmean(grads, axis)
+        aux = jax.lax.pmean(aux, axis)
+        return grads, aux
 
     def step(state: TrainState, images, poses, key):
         rays_o, rays_d, target, k_render = sample_train_rays(
             cfg, state.step, images, poses, K, H, W, n_rand, key
         )
-        viewdirs = None
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         if cfg.render.ndc:
-            import jax.numpy as jnp
+            # LLFF forward-facing: train in NDC space, but the view head
+            # sees pre-NDC world directions (reference: render.py:290-317)
             from nerf_meets_mlx_tpu.cameras.rays import ndc_rays
 
-            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
             rays_o, rays_d = ndc_rays(H, W, float(K[0, 0]), 1.0, rays_o, rays_d)
 
-        # shard the ray batch across chips; everything downstream
-        # (encode/MLP/composite/loss) partitions along rays
-        rays_o = jax.lax.with_sharding_constraint(rays_o, ray_shard)
-        rays_d = jax.lax.with_sharding_constraint(rays_d, ray_shard)
-        target = jax.lax.with_sharding_constraint(target, ray_shard)
-        if viewdirs is not None:
-            viewdirs = jax.lax.with_sharding_constraint(viewdirs, ray_shard)
-
-        # occupancy grid: replicated state; the update's per-cell density
-        # forward partitions trivially (XLA may shard the cell batch too)
+        # occupancy grid maintenance stays outside the sharded region
+        # (replicated state, cell-batch forward partitions trivially)
         occ, occ_active = maybe_update_occupancy(model, state, key)
+        occ_arg = occ if has_occ else jnp.zeros((), jnp.float32)
+        occ_act_arg = jnp.asarray(occ_active)
 
-        def loss_fn(p):
-            return nerf_loss_fn(
-                model, p, rays_o, rays_d, target, k_render, viewdirs,
-                occ_grid=occ, occ_active=occ_active,
-            )
+        grads, aux = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(state.params, rays_o, rays_d, target, viewdirs, occ_arg, occ_act_arg, k_render)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        # grads of replicated params over sharded rays -> GSPMD all-reduce
+        # psnr of the mean loss, not the mean of per-device psnrs
+        aux["psnr"] = mse_to_psnr(aux.get("loss_fine", aux["loss_coarse"]))
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -96,5 +142,4 @@ def make_sharded_nerf_train_step(
         )
         return new_state, aux
 
-    del repl  # state placement comes from replicate_state(); GSPMD keeps it
     return jax.jit(step, donate_argnums=(0,))

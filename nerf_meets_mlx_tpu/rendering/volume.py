@@ -51,16 +51,17 @@ def raw2outputs(
     noise_key: Optional[jax.Array] = None,
     white_bkgd: bool = False,
     density_activation: str = "softplus",
+    noise: Optional[jnp.ndarray] = None,  # pre-drawn unit normals [B, S]
 ) -> Dict[str, jnp.ndarray]:
     """Composite raw network outputs into rgb/depth/disp/acc maps + weights."""
     raw_rgb = raw[..., :3]    # [B, S, 3]
     raw_sigma = raw[..., 3]   # [B, S]
 
     if raw_noise_std > 0.0:
-        assert noise_key is not None, "raw_noise_std > 0 requires a PRNG key"
-        raw_sigma = raw_sigma + (
-            jax.random.normal(noise_key, raw_sigma.shape) * raw_noise_std
-        )
+        if noise is None:
+            assert noise_key is not None, "raw_noise_std > 0 requires a PRNG key"
+            noise = jax.random.normal(noise_key, raw_sigma.shape)
+        raw_sigma = raw_sigma + noise * raw_noise_std
 
     # delta distances with the 1e10 terminal bin, scaled by ray length
     deltas = z_vals[..., 1:] - z_vals[..., :-1]

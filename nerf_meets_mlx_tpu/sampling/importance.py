@@ -26,12 +26,15 @@ def sample_pdf(
     n_importance: int,
     eps: float = 1e-5,
     deterministic: bool = False,
+    u=None,          # [B, n_importance] override of the uniform queries
 ):
     """Draw `n_importance` z values per ray from the weights' inverse CDF.
 
     Matches sample_from_inverse_cdf_torch (sampling/__init__.py:101-178):
     deterministic=True uses stratified linspace(0,1) queries; otherwise
-    uniform draws from `key`. The entire computation is wrapped in
+    uniform draws from `key` (or the explicit ``u`` override — used by the
+    sharded train step to keep per-device draws identical to the
+    single-device program). The entire computation is wrapped in
     stop_gradient — the fine pass must not backprop into the coarse weights
     (the reference detaches via @torch.no_grad()).
 
@@ -54,8 +57,10 @@ def sample_pdf(
     if deterministic:
         u = jnp.linspace(0.0, 1.0, n_importance, dtype=cdf.dtype)
         u = jnp.broadcast_to(u, (B, n_importance))
-    else:
+    elif u is None:
         u = jax.random.uniform(key, (B, n_importance), dtype=cdf.dtype)
+    else:
+        u = jax.lax.stop_gradient(jnp.asarray(u))
 
     # Right-searchsorted + the four index gathers, reformulated gather-free
     # (per-row dynamic gathers are slow on TPU): with

@@ -32,7 +32,7 @@ def sample_z_lindisp(near, far, n_samples: int):
     return 1.0 / (1.0 / jnp.asarray(near) * (1.0 - t) + 1.0 / jnp.asarray(far) * t)
 
 
-def stratified_jitter(key: jax.Array, z_vals, strength: float = 1.0):
+def stratified_jitter(key: jax.Array, z_vals, strength: float = 1.0, t=None):
     """Jitter each z within its stratified bin.
 
     Bins are [lower, upper] where lower/upper come from bin midpoints with
@@ -40,12 +40,15 @@ def stratified_jitter(key: jax.Array, z_vals, strength: float = 1.0):
     behavior of sampling/__init__.py:10-31). ``strength`` scales the jitter
     exactly as the reference multiplies its uniform draw by ``strength``.
 
-    Static strength == 0 returns z_vals unchanged.
+    Static strength == 0 returns z_vals unchanged. ``t`` overrides the
+    uniform draw (shape z_vals.shape) — used by the sharded train step to
+    keep per-device draws identical to the single-device program.
     """
     if strength <= 0.0:
         return z_vals
     mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
     upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
     lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
-    t = jax.random.uniform(key, z_vals.shape, dtype=z_vals.dtype) * strength
-    return lower + (upper - lower) * t
+    if t is None:
+        t = jax.random.uniform(key, z_vals.shape, dtype=z_vals.dtype)
+    return lower + (upper - lower) * (t * strength)
