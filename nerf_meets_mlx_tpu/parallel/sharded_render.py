@@ -1,10 +1,13 @@
 """Multi-chip eval rendering: pixels shard over the mesh's ``data`` axis.
 
 Completes the parallel story for evaluation (training shards in
-sharded_train.py): a full frame's rays are generated on-device, swept in
-``lax.map`` chunks for memory, and each chunk is sharded across the mesh so
-every chip renders an interleaved pixel shard — params stay replicated, no
-collectives are needed until the (tiny) output gather that GSPMD inserts.
+sharded_train.py): a full frame's rays are generated on-device, split into
+contiguous per-device pixel shards with `shard_map`, and each device sweeps
+its shard in ``lax.map`` chunks for memory — params stay replicated, no
+collectives are needed until the (tiny) output gather at the shard_map
+boundary. shard_map (rather than GSPMD sharding constraints) keeps the
+fused Pallas forward kernel device-local: GSPMD has no partitioning rule
+for pallas_call and would replicate it across the mesh.
 
 The reference has no distributed layer at all (its eval loop is a host-side
 python chunk loop, /root/reference/mlx_nerf/rendering/render.py:243-266);
@@ -20,10 +23,14 @@ from typing import Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from nerf_meets_mlx_tpu.cameras.rays import get_rays, ndc_rays
-from nerf_meets_mlx_tpu.parallel.mesh import data_sharding
 
 
 def make_sharded_render_image(
@@ -36,7 +43,8 @@ def make_sharded_render_image(
     (each chip processes chunk / n_devices of it)."""
     cfg = model.cfg
     n_dev = mesh.devices.size
-    ray_shard = data_sharding(mesh)
+    axis = mesh.axis_names[0]
+    has_occ = cfg.render.occupancy
 
     @functools.partial(jax.jit, static_argnames=("H", "W", "chunk_"))
     def _render(
@@ -54,31 +62,44 @@ def make_sharded_render_image(
         rays_o = jnp.concatenate([rays_o, jnp.zeros((n_pad, 3), rays_o.dtype)], 0)
         rays_d = jnp.concatenate([rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], 0)
         viewdirs = jnp.concatenate([viewdirs, jnp.ones((n_pad, 3), viewdirs.dtype)], 0)
+        occ_arg = occ_grid if has_occ and occ_grid is not None else jnp.zeros((), jnp.float32)
+        use_occ = has_occ and occ_grid is not None
+        loc_chunk = chunk_ // n_dev
 
-        def body(chunk_rays):
-            ro, rd, vd = chunk_rays
-            ro = jax.lax.with_sharding_constraint(ro, ray_shard)
-            rd = jax.lax.with_sharding_constraint(rd, ray_shard)
-            vd = jax.lax.with_sharding_constraint(vd, ray_shard)
-            out = model.render_rays(
-                params, ro, rd, key=None, train=False, viewdirs=vd, occ_grid=occ_grid
+        def device_fn(params, ro, rd, vd, occ):
+            """Sweep this device's contiguous pixel shard in lax.map chunks."""
+
+            def body(chunk_rays):
+                ro_, rd_, vd_ = chunk_rays
+                out = model.render_rays(
+                    params, ro_, rd_, key=None, train=False, viewdirs=vd_,
+                    occ_grid=occ if use_occ else None,
+                )
+                return {
+                    "rgb_map": out["rgb_map"],
+                    "disp_map": out["disp_map"],
+                    "acc_map": out["acc_map"],
+                    "depth_map": out["depth_map"],
+                }
+
+            chunked = jax.lax.map(
+                body,
+                (
+                    ro.reshape(-1, loc_chunk, 3),
+                    rd.reshape(-1, loc_chunk, 3),
+                    vd.reshape(-1, loc_chunk, 3),
+                ),
             )
-            return {
-                "rgb_map": out["rgb_map"],
-                "disp_map": out["disp_map"],
-                "acc_map": out["acc_map"],
-                "depth_map": out["depth_map"],
-            }
+            return {k: v.reshape(-1, *v.shape[2:]) for k, v in chunked.items()}
 
-        chunked = jax.lax.map(
-            body,
-            (
-                rays_o.reshape(-1, chunk_, 3),
-                rays_d.reshape(-1, chunk_, 3),
-                viewdirs.reshape(-1, chunk_, 3),
-            ),
-        )
-        out = {k: v.reshape(-1, *v.shape[2:])[:n] for k, v in chunked.items()}
+        out = shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P()),
+            out_specs=P(axis),
+            check_vma=False,
+        )(params, rays_o, rays_d, viewdirs, occ_arg)
+        out = {k: v[:n] for k, v in out.items()}
         return {
             "rgb_map": out["rgb_map"].reshape(H, W, 3),
             "disp_map": out["disp_map"].reshape(H, W),
