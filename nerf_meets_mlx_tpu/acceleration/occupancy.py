@@ -57,6 +57,7 @@ def update_occupancy_grid(
     grid: jnp.ndarray,
     key: jax.Array,
     decay: float = 0.95,
+    mesh=None,
 ) -> jnp.ndarray:
     """EMA-max density update (Instant-NGP occupancy-grid rule):
     grid <- max(grid * decay, sigma(one jittered point per cell)).
@@ -64,6 +65,12 @@ def update_occupancy_grid(
     Densities come from the finest network (the one that renders); the raw
     density channel goes through the configured activation so the stored
     values are in the same units the compositor integrates.
+
+    With `mesh`, the R^3 density forward shards over the mesh's first axis
+    (each device evaluates its cell slice; the grid itself stays replicated
+    via the boundary gather) — cell points are generated once at the global
+    shape, so the sharded update equals the replicated one bit-for-bit.
+    Falls back to the replicated forward when R^3 doesn't divide the mesh.
     """
     rcfg = model.cfg.render
     assert rcfg.aabb is not None, "occupancy grid requires render.aabb"
@@ -72,9 +79,23 @@ def update_occupancy_grid(
     r = grid.shape[0]
 
     pts = _cell_points(key, r, lo, hi)[:, None, :]        # [R^3, 1, 3]
-    dirs = jnp.zeros((pts.shape[0], 3), jnp.float32)       # density ignores dirs
     level = "fine" if "fine" in params else "coarse"
-    raw_sigma = model.query(params, level, pts, dirs)[..., 0, 3]  # [R^3]
+
+    def density(p, pts_local):
+        dirs = jnp.zeros((pts_local.shape[0], 3), jnp.float32)  # dirs unused
+        return model.query(p, level, pts_local, dirs)[..., 0, 3]
+
+    if mesh is not None and pts.shape[0] % mesh.devices.size == 0:
+        from jax.sharding import PartitionSpec as P
+
+        from nerf_meets_mlx_tpu.parallel.mesh import shard_map_nocheck
+
+        axis = mesh.axis_names[0]
+        raw_sigma = shard_map_nocheck(
+            density, mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(axis)
+        )(params, pts)
+    else:
+        raw_sigma = density(params, pts)                  # [R^3]
 
     if rcfg.compositing == "reference" or rcfg.density_activation == "relu":
         sigma = jax.nn.relu(raw_sigma)

@@ -131,13 +131,14 @@ def nerf_loss_fn(
 
 
 def maybe_update_occupancy(
-    model: NeRFModel, state: TrainState, key: jax.Array
+    model: NeRFModel, state: TrainState, key: jax.Array, mesh=None
 ) -> Tuple[Optional[jnp.ndarray], Any]:
     """Occupancy-grid maintenance inside the train step: every
     occ_update_every steps EMA-update the grid from the current network
     (a lax.cond branch — no separate dispatch), and gate its use on the
     warmup. Returns (occ_grid, occ_active); (None, True) when the feature is
-    off. Shared by the single-chip and sharded steps."""
+    off. Shared by the single-chip and sharded steps; with `mesh` the R^3
+    cell forward partitions over the devices instead of replicating."""
     rcfg = model.cfg.render
     if not rcfg.occupancy or state.occ_grid is None:
         return None, True
@@ -146,7 +147,9 @@ def maybe_update_occupancy(
     k_occ = jax.random.fold_in(jax.random.fold_in(key, state.step), 0x0CC)
     occ = jax.lax.cond(
         (state.step % rcfg.occ_update_every) == 0,
-        lambda g: update_occupancy_grid(model, state.params, g, k_occ, rcfg.occ_decay),
+        lambda g: update_occupancy_grid(
+            model, state.params, g, k_occ, rcfg.occ_decay, mesh=mesh
+        ),
         lambda g: g,
         state.occ_grid,
     )

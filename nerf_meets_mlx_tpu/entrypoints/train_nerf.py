@@ -117,11 +117,13 @@ def train_nerf(
 
     # route the hot path through the fused Pallas kernel on real TPUs
     # (off-TPU it would run in the slow interpreter; keep the XLA path there)
-    if (
-        jax.default_backend() == "tpu"
-        and cfg.pos_encoding.kind == "sinusoidal"
-        and cfg.dir_encoding is not None
-        and cfg.dir_encoding.kind == "sinusoidal"
+    if jax.default_backend() == "tpu" and (
+        (
+            cfg.pos_encoding.kind == "sinusoidal"
+            and cfg.dir_encoding is not None
+            and cfg.dir_encoding.kind == "sinusoidal"
+        )
+        or cfg.pos_encoding.kind == "hash_grid"  # Pallas hash-encode kernel
     ):
         cfg = cfg.replace(use_fused_kernel=True)
 

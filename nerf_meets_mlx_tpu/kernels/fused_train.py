@@ -79,6 +79,15 @@ class TrainSpec:
     white_bkgd: bool
 
 
+def max_fused_samples(target_points: int = 512) -> int:
+    """Largest per-ray sample count the kernel accepts. Past ~2x the block
+    target, rays_block clamps to 1 and the [RBS, RBS] scan matrix + live
+    activations grow as n_samples^2 with no way to shrink the block —
+    callers (factory.supports_fused_train) fall back to the unfused path
+    rather than VMEM-OOM at compile time."""
+    return 2 * target_points
+
+
 def default_rays_block(n_samples: int, target_points: int = 512) -> int:
     """Rays per block such that rays_block * n_samples ≈ target_points.
 
@@ -86,6 +95,12 @@ def default_rays_block(n_samples: int, target_points: int = 512) -> int:
     accumulators and the [RBS, RBS] scan matrix in VMEM; ~512 points
     measured as the sweet spot for the backward-style recompute kernels
     on v5e (fused_mlp.FusedMLPSpec.bwd_block rationale)."""
+    if n_samples > max_fused_samples(target_points):
+        raise ValueError(
+            f"n_samples={n_samples} exceeds the fused-train kernel's VMEM "
+            f"bound ({max_fused_samples(target_points)}); use the unfused "
+            "path (factory.supports_fused_train gates this automatically)"
+        )
     return max(1, target_points // n_samples)
 
 
@@ -315,18 +330,13 @@ def _train_pallas(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def fused_train_apply(
+def _fused_train_core(
     spec: FusedMLPSpec,
     tspec: TrainSpec,
     packed: List[jnp.ndarray],
     x: jnp.ndarray,
     target: jnp.ndarray,
 ):
-    """One-launch train op: (sse, rgb_map [R,3], weights [R,S]).
-
-    sse = Σ_valid rays ‖rgb_map − target‖² — the ONLY differentiable output
-    (w.r.t. `packed`; x and target are data). rgb_map/weights have
-    structurally-zero cotangents: stop_gradient them at the call site."""
     rgb, wts, sse, _ = _train_pallas(spec, tspec, packed, x, target)
     return sse, rgb, wts
 
@@ -346,7 +356,26 @@ def _vjp_bwd(spec, tspec, res, cots):
     return dpacked, jnp.zeros(x_shape, jnp.float32), jnp.zeros(t_shape, jnp.float32)
 
 
-fused_train_apply.defvjp(_vjp_fwd, _vjp_bwd)
+_fused_train_core.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_train_apply(
+    spec: FusedMLPSpec,
+    tspec: TrainSpec,
+    packed: List[jnp.ndarray],
+    x: jnp.ndarray,
+    target: jnp.ndarray,
+):
+    """One-launch train op: (sse, rgb_map [R,3], weights [R,S]).
+
+    sse = Σ_valid rays ‖rgb_map − target‖² — the ONLY differentiable output
+    (w.r.t. `packed`; x and target are data). rgb_map/weights come back
+    already stop-gradient'd: their cotangents are discarded by the custom
+    VJP (the kernel computes only the sse pullback), so a caller
+    differentiating through them must get zero BY CONSTRUCTION rather than
+    silently-wrong gradients."""
+    sse, rgb, wts = _fused_train_core(spec, tspec, packed, x, target)
+    return sse, jax.lax.stop_gradient(rgb), jax.lax.stop_gradient(wts)
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ renders happens at the ray level via lax.map (rendering/renderer.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -37,26 +38,14 @@ from nerf_meets_mlx_tpu.sampling.stratified import (
     sample_z_lindisp,
     stratified_jitter,
 )
-from nerf_meets_mlx_tpu.sampling.importance import sample_pdf, merge_z
+from nerf_meets_mlx_tpu.sampling.importance import merge_z, sample_pdf, shard_rand
 
 Params = Dict[str, Any]
 
 
-def _shard_rand(draw_fn, key, shape, shard_info):
-    """Random draw that is invariant to data-parallel sharding.
-
-    With shard_info = (n_global, offset), the draw happens at the GLOBAL
-    batch shape and the local shard is sliced out — so the shard_map train
-    step (parallel/sharded_train.py) consumes exactly the random stream the
-    single-device program would, and sharded == unsharded holds bit-for-bit
-    in exact math. The redundant generation costs ~1M threefry lanes per
-    device per step — noise. shard_info=None is the single-device fast path.
-    """
-    if shard_info is None:
-        return draw_fn(key, shape)
-    n_global, offset = shard_info
-    full = draw_fn(key, (n_global,) + tuple(shape[1:]))
-    return jax.lax.dynamic_slice_in_dim(full, offset, shape[0], 0)
+# shard-invariant RNG lives with the sampling utilities; alias kept for the
+# call sites below (draws at the GLOBAL batch shape, slices the local shard)
+_shard_rand = shard_rand
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,6 +86,26 @@ class NeRFModel:
             and cfg.dir_encoding.kind == "sinusoidal"
         )
 
+    def _use_hash_kernel(self) -> bool:
+        """Route the hash-grid encode through the Pallas one-hot-GEMM kernel
+        (kernels/hash_encode.py) when the packed tables fit VMEM. The MLP
+        after it stays on XLA (2x64 for the ingp preset — not the
+        bottleneck; the gather was)."""
+        cfg = self.cfg
+        if not (cfg.use_fused_kernel and cfg.pos_encoding.kind == "hash_grid"):
+            return False
+        from nerf_meets_mlx_tpu.kernels.hash_encode import HashEncodeSpec
+
+        return HashEncodeSpec.from_encoding(self.pos_enc).vmem_ok
+
+    def _encode_pos(self, params: Params, pts: jnp.ndarray) -> jnp.ndarray:
+        if self._use_hash_kernel():
+            from nerf_meets_mlx_tpu.kernels.hash_encode import hash_encode_apply
+
+            # positions are data or stop-gradient z-samples here -> no dX
+            return hash_encode_apply(self.pos_enc, params["pos_enc"], pts)
+        return self.pos_enc.apply(params["pos_enc"], pts)
+
     def query(
         self,
         params: Params,
@@ -131,7 +140,7 @@ class NeRFModel:
             raw = fused_apply(spec, packed, x)
             return raw[:, :4].reshape(*pts.shape[:-1], 4)
 
-        x_pos = self.pos_enc.apply(params["pos_enc"], pts)
+        x_pos = self._encode_pos(params, pts)
         x_dir = None
         if mlp_cfg.use_viewdirs and self.dir_enc is not None:
             dirs = jnp.broadcast_to(
@@ -177,7 +186,12 @@ class NeRFModel:
         sample_fn = sample_z_lindisp if rcfg.lindisp else sample_z_uniform
         z_vals = sample_fn(near, far, rcfg.n_samples)  # [B, S]
         if train and rcfg.perturb > 0.0:
-            t = _shard_rand(jax.random.uniform, k_jitter, z_vals.shape, shard_info)
+            # dtype bound explicitly: stratified_jitter's own draw uses
+            # z_vals.dtype, and both branches must share one stream
+            t = _shard_rand(
+                functools.partial(jax.random.uniform, dtype=z_vals.dtype),
+                k_jitter, z_vals.shape, shard_info,
+            )
             z_vals = stratified_jitter(k_jitter, z_vals, rcfg.perturb, t=t)
         return z_vals
 
@@ -256,19 +270,16 @@ class NeRFModel:
         }
 
         if rcfg.n_importance > 0:
-            # detached resampling stage (reference: torch.no_grad round-trip)
-            u_imp = None
-            if train and shard_info is not None:
-                u_imp = _shard_rand(
-                    jax.random.uniform, k_imp, (B, rcfg.n_importance), shard_info
-                )
+            # detached resampling stage (reference: torch.no_grad round-trip);
+            # shard_info makes the internal uniform draw shard-invariant with
+            # the dtype threaded inside sample_pdf itself
             z_imp = sample_pdf(
                 k_imp,
                 z_vals,
                 out_c["weights"],
                 rcfg.n_importance,
                 deterministic=not train,
-                u=u_imp,
+                shard_info=shard_info if train else None,
             )
             z_all = merge_z(z_vals, z_imp)  # [B, S + S_imp]
             pts_f = rays_o[..., None, :] + z_all[..., :, None] * rays_d[..., None, :]
@@ -313,6 +324,14 @@ class NeRFModel:
         if cfg.render.n_importance > 0 and not self._use_fused(
             cfg.mlp_fine or cfg.mlp
         ):
+            return False
+        from nerf_meets_mlx_tpu.kernels.fused_train import max_fused_samples
+
+        # VMEM guard: the in-kernel [RBS, RBS] compositing-scan matrix grows
+        # as n_samples^2 once rays_block clamps to 1; past the bound the
+        # program falls back to the unfused XLA path instead of failing at
+        # compile time with a VMEM-OOM.
+        if cfg.render.n_samples + cfg.render.n_importance > max_fused_samples():
             return False
         return True
 
@@ -409,14 +428,9 @@ class NeRFModel:
         }
 
         if rcfg.n_importance > 0:
-            u_imp = None
-            if shard_info is not None:
-                u_imp = _shard_rand(
-                    jax.random.uniform, k_imp, (B, rcfg.n_importance), shard_info
-                )
             z_imp = sample_pdf(
                 k_imp, z_vals, weights, rcfg.n_importance, deterministic=False,
-                u=u_imp,
+                shard_info=shard_info,
             )
             z_all = merge_z(z_vals, z_imp)
             level = "fine" if "fine" in params else "coarse"

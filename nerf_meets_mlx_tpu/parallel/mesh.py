@@ -24,6 +24,28 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+try:  # jax >= 0.8: core API, replication-check kwarg is `check_vma`
+    from jax import shard_map as _shard_map
+
+    _SM_CHECK_KWARG = "check_vma"
+except ImportError:  # pragma: no cover — pre-0.8 experimental API: `check_rep`
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    _SM_CHECK_KWARG = "check_rep"
+
+
+def shard_map_nocheck(f, mesh: Mesh, in_specs, out_specs):
+    """shard_map with the replication check disabled, passing whichever
+    kwarg (check_vma / check_rep) the installed jax expects — the old API
+    would TypeError on check_vma (ADVICE r2)."""
+    return _shard_map(
+        f,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        **{_SM_CHECK_KWARG: False},
+    )
+
 
 def make_mesh(n_devices: int = 0, axis: str = "data") -> Mesh:
     """1-D mesh over the first `n_devices` devices (0 = all visible)."""

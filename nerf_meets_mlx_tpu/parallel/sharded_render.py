@@ -25,12 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.8
-    from jax import shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
-
 from nerf_meets_mlx_tpu.cameras.rays import get_rays, ndc_rays
+from nerf_meets_mlx_tpu.parallel.mesh import shard_map_nocheck
 
 
 def make_sharded_render_image(
@@ -92,12 +88,11 @@ def make_sharded_render_image(
             )
             return {k: v.reshape(-1, *v.shape[2:]) for k, v in chunked.items()}
 
-        out = shard_map(
+        out = shard_map_nocheck(
             device_fn,
             mesh=mesh,
             in_specs=(P(), P(axis), P(axis), P(axis), P()),
             out_specs=P(axis),
-            check_vma=False,
         )(params, rays_o, rays_d, viewdirs, occ_arg)
         out = {k: v[:n] for k, v in out.items()}
         return {

@@ -39,11 +39,6 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.8
-    from jax import shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
-
 from nerf_meets_mlx_tpu.engine.train_state import TrainState, make_optimizer
 from nerf_meets_mlx_tpu.engine.trainer import (
     maybe_update_occupancy,
@@ -52,7 +47,7 @@ from nerf_meets_mlx_tpu.engine.trainer import (
 )
 from nerf_meets_mlx_tpu.models.factory import NeRFModel
 from nerf_meets_mlx_tpu.ops.metrics import mse_to_psnr
-from nerf_meets_mlx_tpu.parallel.mesh import replicated
+from nerf_meets_mlx_tpu.parallel.mesh import replicated, shard_map_nocheck
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
@@ -110,26 +105,31 @@ def make_sharded_nerf_train_step(
         rays_o, rays_d, target, k_render = sample_train_rays(
             cfg, state.step, images, poses, K, H, W, n_rand, key
         )
-        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         if cfg.render.ndc:
             # LLFF forward-facing: train in NDC space, but the view head
-            # sees pre-NDC world directions (reference: render.py:290-317)
+            # sees pre-NDC world directions (reference: render.py:290-317) —
+            # the only case where viewdirs must be computed pre-transform
+            # and shipped into the sharded region (ADVICE r2)
             from nerf_meets_mlx_tpu.cameras.rays import ndc_rays
 
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            vd_spec = P(axis)
             rays_o, rays_d = ndc_rays(H, W, float(K[0, 0]), 1.0, rays_o, rays_d)
+        else:
+            viewdirs = jnp.zeros((), jnp.float32)  # dummy; model renormalizes
+            vd_spec = P()
 
-        # occupancy grid maintenance stays outside the sharded region
-        # (replicated state, cell-batch forward partitions trivially)
-        occ, occ_active = maybe_update_occupancy(model, state, key)
+        # occupancy grid maintenance runs sharded over the cell batch
+        # (see maybe_update_occupancy / update_occupancy_grid)
+        occ, occ_active = maybe_update_occupancy(model, state, key, mesh=mesh)
         occ_arg = occ if has_occ else jnp.zeros((), jnp.float32)
         occ_act_arg = jnp.asarray(occ_active)
 
-        grads, aux = shard_map(
+        grads, aux = shard_map_nocheck(
             device_fn,
             mesh=mesh,
-            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
+            in_specs=(P(), P(axis), P(axis), P(axis), vd_spec, P(), P(), P()),
             out_specs=(P(), P()),
-            check_vma=False,
         )(state.params, rays_o, rays_d, target, viewdirs, occ_arg, occ_act_arg, k_render)
 
         # psnr of the mean loss, not the mean of per-device psnrs

@@ -15,8 +15,31 @@ interpolation with nan_to_num + clip.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+def shard_rand(draw_fn, key, shape, shard_info):
+    """Random draw that is invariant to data-parallel sharding.
+
+    With shard_info = (n_global, offset), the draw happens at the GLOBAL
+    batch shape and the local shard is sliced out — so the shard_map train
+    step (parallel/sharded_train.py) consumes exactly the random stream the
+    single-device program would, and sharded == unsharded holds bit-for-bit
+    in exact math. The redundant generation costs ~1M threefry lanes per
+    device per step — noise. shard_info=None is the single-device fast path.
+
+    Callers must pass draw_fn with any non-default dtype already bound
+    (functools.partial) so sharded and single-device branches draw from the
+    same stream by construction.
+    """
+    if shard_info is None:
+        return draw_fn(key, shape)
+    n_global, offset = shard_info
+    full = draw_fn(key, (n_global,) + tuple(shape[1:]))
+    return jax.lax.dynamic_slice_in_dim(full, offset, shape[0], 0)
 
 
 def sample_pdf(
@@ -27,6 +50,7 @@ def sample_pdf(
     eps: float = 1e-5,
     deterministic: bool = False,
     u=None,          # [B, n_importance] override of the uniform queries
+    shard_info=None,  # (n_global, row offset) for shard-invariant draws
 ):
     """Draw `n_importance` z values per ray from the weights' inverse CDF.
 
@@ -58,7 +82,12 @@ def sample_pdf(
         u = jnp.linspace(0.0, 1.0, n_importance, dtype=cdf.dtype)
         u = jnp.broadcast_to(u, (B, n_importance))
     elif u is None:
-        u = jax.random.uniform(key, (B, n_importance), dtype=cdf.dtype)
+        # dtype bound explicitly so the sharded and single-device branches
+        # draw from the same threefry stream by construction (ADVICE r2)
+        u = shard_rand(
+            functools.partial(jax.random.uniform, dtype=cdf.dtype),
+            key, (B, n_importance), shard_info,
+        )
     else:
         u = jax.lax.stop_gradient(jnp.asarray(u))
 

@@ -220,3 +220,37 @@ def test_checkpoint_roundtrip_with_grid(tmp_path):
     )
     restored = restore_checkpoint(tmp_path / "ckpt", template, 0)
     np.testing.assert_allclose(np.asarray(restored.occ_grid), np.asarray(grid))
+
+
+def test_update_occupancy_grid_sharded_matches_replicated():
+    """The mesh-sharded cell forward must produce the SAME grid as the
+    replicated one (cell points are drawn once at the global shape, so the
+    only difference is where the density forward runs)."""
+    from nerf_meets_mlx_tpu.parallel.mesh import make_mesh
+
+    model, cfg = _occ_model()
+    params = model.init(jax.random.PRNGKey(0))
+    grid = init_occupancy_grid(cfg.render.occ_resolution)
+    key = jax.random.PRNGKey(7)
+    g_rep = update_occupancy_grid(model, params, grid, key, decay=0.9)
+    g_shard = update_occupancy_grid(
+        model, params, grid, key, decay=0.9, mesh=make_mesh()
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_shard), np.asarray(g_rep), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_update_occupancy_grid_indivisible_falls_back():
+    """R^3 not divisible by the mesh -> replicated fallback, same result."""
+    from nerf_meets_mlx_tpu.parallel.mesh import make_mesh
+
+    model, cfg = _occ_model(res=3)  # 27 cells, 8 devices
+    params = model.init(jax.random.PRNGKey(0))
+    grid = init_occupancy_grid(3)
+    key = jax.random.PRNGKey(7)
+    g_rep = update_occupancy_grid(model, params, grid, key, decay=0.9)
+    g_shard = update_occupancy_grid(
+        model, params, grid, key, decay=0.9, mesh=make_mesh()
+    )
+    np.testing.assert_allclose(np.asarray(g_shard), np.asarray(g_rep))
