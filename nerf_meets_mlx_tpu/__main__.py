@@ -27,6 +27,7 @@ def main(argv=None):
     t.add_argument("--nan-check", action="store_true", help="enable jax_debug_nans")
     t.add_argument("--profile-dir", default=None, help="write a jax.profiler trace here")
     t.add_argument("--synth-resolution", type=int, default=None, help="procedural scene resolution (synthetic dataset only)")
+    t.add_argument("--synth-scene", default=None, choices=("blobs", "hard"), help="procedural scene: smooth blobs or the hard CSG benchmark scene")
     t.add_argument("--precrop-iters", type=int, default=None, help="override the preset's central-crop warmup length")
     t.add_argument("--viewer-port", type=int, default=None, help="serve the live web viewer on this port")
     t.add_argument("--llff-factor", type=int, default=None, help="LLFF image downsample factor (llff preset)")
@@ -65,6 +66,7 @@ def main(argv=None):
             nan_check=args.nan_check,
             profile_dir=args.profile_dir,
             synth_resolution=args.synth_resolution,
+            synth_scene=args.synth_scene,
             precrop_iters=args.precrop_iters,
             viewer_port=args.viewer_port,
             llff_factor=args.llff_factor,

@@ -216,6 +216,10 @@ class DataConfig:
     synth_n_val: int = 4
     synth_n_test: int = 4
     synth_resolution: int = 64
+    # "blobs" (smooth Gaussians — gentle, for fast convergence tests) or
+    # "hard" (sharp CSG geometry + occlusion + high-frequency texture —
+    # the quality-benchmark scene; datasets/synthetic.py)
+    synth_scene: str = "blobs"
 
 
 @dataclasses.dataclass(frozen=True)

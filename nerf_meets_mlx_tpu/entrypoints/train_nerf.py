@@ -46,7 +46,7 @@ def _load_dataset(cfg: ExperimentConfig):
     if d.dataset_type == "synthetic":
         return make_synthetic_scene(
             d.synth_n_train, d.synth_n_val, d.synth_n_test, d.synth_resolution,
-            white_bkgd=cfg.render.white_bkgd,
+            white_bkgd=cfg.render.white_bkgd, scene=d.synth_scene,
         )
     raise ValueError(f"unknown dataset_type for volume training: {d.dataset_type}")
 
@@ -62,6 +62,7 @@ def train_nerf(
     nan_check: bool = False,
     profile_dir: Optional[str] = None,
     synth_resolution: Optional[int] = None,
+    synth_scene: Optional[str] = None,
     precrop_iters: Optional[int] = None,
     viewer_port: Optional[int] = None,
     llff_factor: Optional[int] = None,
@@ -96,6 +97,10 @@ def train_nerf(
     if synth_resolution:
         cfg = cfg.replace(
             data=dataclasses.replace(cfg.data, synth_resolution=synth_resolution)
+        )
+    if synth_scene:
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, synth_scene=synth_scene)
         )
     if llff_factor is not None:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, llff_factor=llff_factor))

@@ -101,3 +101,50 @@ def test_validate_dataset_contact_sheet(tmp_path):
     out = validate_dataset(ds, tmp_path / "sheet.png")
     img = imageio.imread(out)
     assert img.shape == (16, 3 * 16, 3)
+
+
+def test_hard_scene_properties():
+    """The quality-benchmark scene must be meaningfully harder than the
+    blobs: sharp edges (gradient energy), real occlusion, view-consistent."""
+    import numpy as np
+    from nerf_meets_mlx_tpu.cameras.pose import pose_spherical
+    from nerf_meets_mlx_tpu.datasets.synthetic import (
+        CAMERA_ANGLE_X,
+        render_gt_image,
+    )
+
+    H = W = 64
+    f = 0.5 * W / np.tan(0.5 * CAMERA_ANGLE_X)
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    p = pose_spherical(30.0, -30.0, 4.0)[:3, :4]
+
+    hard = render_gt_image(H, W, K, p, scene="hard")
+    blobs = render_gt_image(H, W, K, p, scene="blobs")
+
+    def edge_energy(img):
+        rgb = img[..., :3]
+        return float(
+            np.abs(np.diff(rgb, axis=0)).mean() + np.abs(np.diff(rgb, axis=1)).mean()
+        )
+
+    assert edge_energy(hard) > 3.0 * edge_energy(blobs)
+    assert 0.2 < float(hard[..., 3].mean()) < 0.8  # covers part of the frame
+    # deterministic / view-consistent: same pose renders identically
+    again = render_gt_image(H, W, K, p, scene="hard")
+    np.testing.assert_array_equal(hard, again)
+
+
+def test_hard_scene_via_config():
+    from nerf_meets_mlx_tpu.config import lego_fast
+    import dataclasses
+    from nerf_meets_mlx_tpu.entrypoints.train_nerf import _load_dataset
+
+    cfg = lego_fast()
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset_type="synthetic", synth_scene="hard",
+            synth_resolution=32, synth_n_train=2, synth_n_val=1, synth_n_test=1,
+        )
+    )
+    ds = _load_dataset(cfg)
+    assert ds.images.shape == (4, 32, 32, 3)

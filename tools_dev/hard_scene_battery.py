@@ -1,0 +1,74 @@
+"""Re-measure every README quality row on the HARD procedural scene
+(datasets/synthetic.py scene="hard") — VERDICT r2: the Gaussian-blob PSNRs
+overstate every preset. Runs sequentially on the one TPU; writes one JSON
+line per run to /tmp/hard_battery/results.jsonl.
+
+Usage: python tools_dev/hard_scene_battery.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+OUT = Path("/tmp/hard_battery")
+OUT.mkdir(parents=True, exist_ok=True)
+RESULTS = OUT / "results.jsonl"
+
+
+def run_one(tag, preset, max_iters, resolution, log_dir, synth_scene="hard",
+            extra=None):
+    from nerf_meets_mlx_tpu.entrypoints.train_nerf import train_nerf
+
+    t0 = time.time()
+    metrics = train_nerf(
+        preset=preset,
+        max_iters=max_iters,
+        log_dir=str(log_dir),
+        render_video=False,
+        synth_resolution=resolution,
+        synth_scene=synth_scene,
+        **(extra or {}),
+    )
+    row = {
+        "tag": tag,
+        "preset": preset,
+        "iters": max_iters,
+        "resolution": resolution,
+        "test_psnr_mean": round(float(metrics.get("test_psnr_mean", -1)), 2),
+        "train_psnr": round(float(metrics.get("psnr", -1)), 2),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    with RESULTS.open("a") as f:
+        f.write(json.dumps(row) + "\n")
+    print("[battery]", json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    quick = "--quick" in sys.argv
+    it2k = 200 if quick else 2000
+    it5k = 300 if quick else 5000
+    res = 64 if quick else 128
+
+    # quality anchor: the full-budget hierarchical recipe on the same scene
+    run_one("anchor", "lego_hierarchical", it2k, res, OUT / "hier2k")
+    # accelerated presets (matched-quality claims live or die here)
+    run_one("fast", "lego_fast", it2k, res, OUT / "fast2k")
+    run_one("occ", "lego_occ", it2k, res, OUT / "occ2k")
+    run_one("cp", "lego_cp", it2k, res, OUT / "cp2k")
+    # BASELINE config-5: the INGP preset's 5k-iter convergence number
+    run_one("ingp5k", "lego_ingp", it5k, res, OUT / "ingp5k")
+
+    # convergence curve at 64^2 via resume chaining (1.5k -> 5k -> 20k)
+    curve_dir = OUT / "curve"
+    for iters in ([150, 300] if quick else [1500, 5000, 20000]):
+        run_one(f"curve@{iters}", "lego_hierarchical", iters, 64, curve_dir)
+
+    print("[battery] done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
