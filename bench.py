@@ -138,16 +138,25 @@ def bench_scaling(n_devices: int = 0, rays_per_device: int = 4096, n_iters: int 
     rps1, t1 = measure(1)
     rpsN, tN = measure(n_devices)
     efficiency = t1 / tN  # weak scaling: perfect => same step time
-    print(
-        json.dumps(
-            {
-                "metric": "weak_scaling_efficiency",
-                "value": round(efficiency, 4),
-                "unit": f"T1/T{n_devices} (rays/device={rays_per_device})",
-                "vs_baseline": round(rpsN / max(rps1, 1e-9) / n_devices, 4),
-            }
-        )
-    )
+    line = {
+        "metric": "weak_scaling_efficiency",
+        "value": round(efficiency, 4),
+        "unit": f"T1/T{n_devices} (rays/device={rays_per_device})",
+        "vs_baseline": round(rpsN / max(rps1, 1e-9) / n_devices, 4),
+    }
+    # durable artifact for the scaling row (BASELINE.md: >=90% 1 host -> N)
+    artifact = {
+        **line,
+        "backend": jax.default_backend(),
+        "n_devices": n_devices,
+        "rays_per_device": rays_per_device,
+        "step_ms_1dev": round(t1 * 1000, 3),
+        "step_ms_ndev": round(tN * 1000, 3),
+        "rays_per_sec_1dev": round(rps1, 1),
+        "rays_per_sec_ndev": round(rpsN, 1),
+    }
+    (Path(__file__).parent / "SCALING.json").write_text(json.dumps(artifact, indent=1))
+    print(json.dumps(line))
 
 
 def main():

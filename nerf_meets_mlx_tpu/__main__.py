@@ -28,6 +28,7 @@ def main(argv=None):
     t.add_argument("--profile-dir", default=None, help="write a jax.profiler trace here")
     t.add_argument("--synth-resolution", type=int, default=None, help="procedural scene resolution (synthetic dataset only)")
     t.add_argument("--synth-scene", default=None, choices=("blobs", "hard"), help="procedural scene: smooth blobs or the hard CSG benchmark scene")
+    t.add_argument("--no-shard", action="store_true", help="force the single-device step even with multiple visible devices")
     t.add_argument("--precrop-iters", type=int, default=None, help="override the preset's central-crop warmup length")
     t.add_argument("--viewer-port", type=int, default=None, help="serve the live web viewer on this port")
     t.add_argument("--llff-factor", type=int, default=None, help="LLFF image downsample factor (llff preset)")
@@ -71,6 +72,7 @@ def main(argv=None):
             viewer_port=args.viewer_port,
             llff_factor=args.llff_factor,
             spherify=args.spherify,
+            shard=not args.no_shard,
             dv_shape=args.shape,
         )
     elif args.cmd == "render":

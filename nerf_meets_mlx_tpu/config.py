@@ -179,6 +179,11 @@ class TrainConfig:
     max_iters: int = 200_000
     precrop_iters: int = 0
     precrop_frac: float = 0.5
+    # "replacement" (default: two randint draws, gather-cheap, ~50 duplicate
+    # pixels per 4096-batch at 400^2) or "no_replacement" (reference parity:
+    # np.random.choice(..., replace=False), __test_nerf.py:213-236 —
+    # implemented as a top-k over per-pixel scores; costs a top_k over H*W)
+    pixel_sampling: str = "replacement"
     seed: int = 0
     # logging / io cadences (reference flags config_parser.py:73-77)
     i_print: int = 100
@@ -198,6 +203,10 @@ class DataConfig:
     dataset_type: str = "blender"   # blender | llff | deepvoxels | synthetic | image
     data_dir: str = ""
     half_res: bool = False
+    # "area" (2x2 box, the default) or "lanczos" (PIL Lanczos-3 per float
+    # channel — the reference's exact half-res filter, dataloader.py:76-90;
+    # needed for bit-level half-res fidelity comparisons)
+    half_res_filter: str = "area"
     testskip: int = 8
     # LLFF forward-facing captures (reference has only the flags,
     # config_parser.py:58-71 — no loader): image downsample factor and the

@@ -57,11 +57,31 @@ def _half_res_area(img: np.ndarray) -> np.ndarray:
     ).mean(axis=(1, 3))
 
 
+def _half_res_lanczos(img: np.ndarray) -> np.ndarray:
+    """PIL Lanczos-3 downscale — the reference's exact half-res filter
+    (dataloader.py:76-90: Image.resize(..., Resampling.LANCZOS)). Run per
+    channel in PIL float mode 'F' so no uint8 quantization is introduced."""
+    from PIL import Image
+
+    H, W = img.shape[:2]
+    out = np.empty((H // 2, W // 2, img.shape[2]), np.float32)
+    for c in range(img.shape[2]):
+        chan = Image.fromarray(np.ascontiguousarray(img[..., c], np.float32), "F")
+        out[..., c] = np.asarray(
+            chan.resize((W // 2, H // 2), Image.Resampling.LANCZOS), np.float32
+        )
+    return out
+
+
+_HALF_RES_FILTERS = {"area": _half_res_area, "lanczos": _half_res_lanczos}
+
+
 def load_blender_data(
     basedir: str | Path,
     half_res: bool = False,
     testskip: int = 1,
     white_bkgd: bool = True,
+    half_res_filter: str = "area",
 ) -> BlenderDataset:
     """Load a Blender-synthetic scene directory (dataloader.py:20-92)."""
     basedir = Path(basedir)
@@ -94,7 +114,8 @@ def load_blender_data(
 
     if half_res:
         H, W, focal = H // 2, W // 2, focal / 2.0
-        images = np.stack([_half_res_area(im) for im in images]).astype(np.float32)
+        filt = _HALF_RES_FILTERS[half_res_filter]
+        images = np.stack([filt(im) for im in images]).astype(np.float32)
 
     # composite alpha (post_load_blender_data, dataloader.py:95-111)
     if images.shape[-1] == 4:

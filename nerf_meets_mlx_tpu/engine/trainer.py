@@ -69,9 +69,25 @@ def sample_train_rays(cfg, step, images, poses, K, H: int, W: int, n_rand: int, 
         w_hi = jnp.where(in_crop, jnp.int32(W * (0.5 + frac / 2)), W)
     else:
         h_lo, h_hi, w_lo, w_hi = 0, H, 0, W
-    kx, ky = jax.random.split(k_pix)
-    px = jax.random.randint(kx, (n_rand,), w_lo, w_hi)
-    py = jax.random.randint(ky, (n_rand,), h_lo, h_hi)
+    if getattr(cfg.train, "pixel_sampling", "replacement") == "no_replacement":
+        # reference parity: np.random.choice(..., replace=False) over the
+        # crop window (__test_nerf.py:213-236). The crop bounds are traced,
+        # so sample by ranking one uniform score per pixel (scores outside
+        # the window pushed past the valid range) and taking the n_rand
+        # smallest — a uniform no-replacement draw over the window.
+        scores = jax.random.uniform(k_pix, (H * W,))
+        ys = jnp.arange(H * W, dtype=jnp.int32) // W
+        xs = jnp.arange(H * W, dtype=jnp.int32) % W
+        valid = (ys >= h_lo) & (ys < h_hi) & (xs >= w_lo) & (xs < w_hi)
+        scores = jnp.where(valid, scores, 2.0)
+        _, flat = jax.lax.top_k(-scores, n_rand)
+        px, py = flat % W, flat // W
+    else:
+        # with replacement (~n^2/2HW duplicate pixels per batch — ~50 at the
+        # reference's 4096/400^2; harmless for SGD and gather-cheaper)
+        kx, ky = jax.random.split(k_pix)
+        px = jax.random.randint(kx, (n_rand,), w_lo, w_hi)
+        py = jax.random.randint(ky, (n_rand,), h_lo, h_hi)
 
     rays_o, rays_d = get_rays_for_pixels(K, c2w, px, py)
     target = target_img[py, px]  # [n_rand, 3]
@@ -235,14 +251,35 @@ def make_image_train_step(model: NeRFModel) -> Callable:
     cfg = model.cfg
     tx = make_optimizer(cfg.train)
     batch = cfg.train.n_rand
+    use_fused = (
+        cfg.use_fused_kernel
+        and not cfg.mlp.use_viewdirs
+        and cfg.pos_encoding.kind == "sinusoidal"
+    )
 
     def step(state: TrainState, coords, colors, key):
         k = jax.random.fold_in(key, state.step)
         idx = jax.random.randint(k, (batch,), 0, coords.shape[0])
-        x = coords[idx][:, None, :]   # [B, 1, 2] — query expects a sample axis
+        xb = coords[idx]              # [B, in_dim]
+        x = xb[:, None, :]            # [B, 1, in_dim] — query's sample axis
         y = colors[idx]
 
         def loss_fn(p):
+            if use_fused:
+                # one-launch encode+MLP+loss-grad+backward
+                # (kernels/fused_image.py)
+                from nerf_meets_mlx_tpu.kernels.fused_image import (
+                    FusedImageSpec,
+                    fused_image_train,
+                    pack_image_inputs,
+                    pack_image_params,
+                )
+
+                spec = FusedImageSpec.from_configs(cfg.mlp, cfg.pos_encoding)
+                packed = pack_image_params(spec, p["coarse"])
+                sse = fused_image_train(spec, packed, pack_image_inputs(xb), y)
+                loss = sse / jnp.float32(y.size)
+                return loss, {"loss": loss, "psnr": mse_to_psnr(loss)}
             pred = model.query(p, "coarse", x, None)[:, 0, :]
             loss = jnp.mean((pred - y) ** 2)
             return loss, {"loss": loss, "psnr": mse_to_psnr(loss)}
@@ -277,6 +314,8 @@ class Trainer:
         log_dir: Optional[str | Path] = None,
         steps_per_call: int = 1,
         save_secs: float = 300.0,
+        mesh=None,
+        main_process: bool = True,
     ):
         self.cfg = cfg
         self.model = model
@@ -286,6 +325,10 @@ class Trainer:
         # wall-clock checkpoint cadence (preemption guard) in addition to
         # the step-count cadence (i_weights); 0 disables
         self.save_secs = save_secs
+        # multi-device/multi-host: state replicated on `mesh`; only the main
+        # process writes logs/checkpoints (parallel/distributed.py)
+        self.mesh = mesh
+        self.main_process = main_process
         self._t_saved = time.perf_counter()
         self.key = jax.random.PRNGKey(cfg.train.seed)
         params = model.init(jax.random.fold_in(self.key, 1))
@@ -295,8 +338,14 @@ class Trainer:
 
             occ = init_occupancy_grid(cfg.render.occ_resolution)
         self.state = create_train_state(params, cfg.train, occ_grid=occ)
+        if mesh is not None:
+            from nerf_meets_mlx_tpu.parallel.sharded_train import replicate_state
+
+            self.state = replicate_state(self.state, mesh)
         self.log_dir = Path(log_dir or Path(cfg.train.log_dir) / cfg.train.exp_name)
-        self.logger = MetricsLogger(self.log_dir / "metrics.jsonl")
+        self.logger = MetricsLogger(
+            self.log_dir / "metrics.jsonl", enabled=main_process
+        )
         self._t_last = time.perf_counter()
         self._steps_last = 0
         self._host_step = 0
@@ -320,10 +369,16 @@ class Trainer:
         s = latest_step(self.log_dir / "ckpt")
         if s is not None:
             self.state = restore_checkpoint(self.log_dir / "ckpt", self.state, s)
+            if self.mesh is not None:
+                from nerf_meets_mlx_tpu.parallel.sharded_train import replicate_state
+
+                self.state = replicate_state(self.state, self.mesh)
             self._host_step = int(self.state.step)
         return self.step
 
     def save(self):
+        if not self.main_process:
+            return  # non-main hosts hold identical replicated state
         from nerf_meets_mlx_tpu.engine.checkpoint import save_checkpoint
 
         save_checkpoint(self.log_dir / "ckpt", self.state, self.step)

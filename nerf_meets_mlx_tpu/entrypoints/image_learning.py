@@ -41,6 +41,10 @@ def image_learning(
     (__viser_image_learning.py:238-315) without the viser dependency."""
     cfg = image2d()
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, max_iters=max_iters))
+    if jax.default_backend() == "tpu":
+        # one-launch fused train step (kernels/fused_image.py); off-TPU the
+        # kernel would run in the slow interpreter — keep the XLA path there
+        cfg = cfg.replace(use_fused_kernel=True)
     img = load_image_2d(image_path, size)
     H, W = img.shape[:2]
     coords, colors = pixel_dataset(img)

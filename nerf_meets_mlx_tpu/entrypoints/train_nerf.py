@@ -19,6 +19,7 @@ from nerf_meets_mlx_tpu.datasets import load_blender_data, make_synthetic_scene
 from nerf_meets_mlx_tpu.engine import Trainer, make_nerf_train_step
 from nerf_meets_mlx_tpu.models import create_nerf
 from nerf_meets_mlx_tpu.ops import psnr as psnr_fn
+from nerf_meets_mlx_tpu.parallel.distributed import init_distributed, is_main_process
 from nerf_meets_mlx_tpu.rendering import render_image, render_orbit
 from nerf_meets_mlx_tpu.utils.video import to8b, write_video
 
@@ -29,6 +30,7 @@ def _load_dataset(cfg: ExperimentConfig):
         return load_blender_data(
             d.data_dir, half_res=d.half_res, testskip=d.testskip,
             white_bkgd=cfg.render.white_bkgd,
+            half_res_filter=d.half_res_filter,
         )
     if d.dataset_type == "llff":
         from nerf_meets_mlx_tpu.datasets.llff import load_llff_data
@@ -68,12 +70,18 @@ def train_nerf(
     llff_factor: Optional[int] = None,
     spherify: bool = False,
     dv_shape: Optional[str] = None,
+    shard: bool = True,
 ) -> dict:
     """Train a NeRF; returns final metrics incl. held-out test PSNR.
 
     nan_check enables jax_debug_nans (the framework's sanitizer mode —
     SURVEY §5); profile_dir captures a jax.profiler device trace of steps
-    ~10-20 for TensorBoard."""
+    ~10-20 for TensorBoard. With >1 visible device (a pod slice, or the
+    multi-host path after jax.distributed.initialize) the train step runs
+    sharded automatically; shard=False forces single-device."""
+    # multi-host: no-op single-process; on pods every host calls this first
+    # so make_mesh() below spans all processes (parallel/distributed.py)
+    init_distributed()
     if nan_check:
         jax.config.update("jax_debug_nans", True)
     cfg = PRESETS[preset]()
@@ -144,10 +152,26 @@ def train_nerf(
     images = jax.device_put(jnp.asarray(ds.images[ds.i_train]))
     poses = jax.device_put(jnp.asarray(ds.poses[ds.i_train, :3, :4]))
 
-    # n_inner (lax.scan step batching) measured neutral on v5e once the
-    # trainer stopped syncing per step — keep 1 for fine-grained cadences
-    step_fn = make_nerf_train_step(model, ds.H, ds.W, ds.focal, n_inner=1)
-    trainer = Trainer(cfg, model, step_fn, (images, poses), log_dir=log_dir)
+    # multi-chip / multi-host: when >1 device is visible the step runs
+    # sharded over the data mesh (rays DP, params replicated, grad pmean)
+    # with the SAME semantics as the single-device step (shard-invariant
+    # RNG, tests/test_parallel.py). --no-shard forces single-device.
+    n_dev = len(jax.devices())
+    mesh = None
+    if shard and n_dev > 1 and cfg.train.n_rand % n_dev == 0:
+        from nerf_meets_mlx_tpu.parallel import make_mesh, make_sharded_nerf_train_step
+
+        mesh = make_mesh(cfg.parallel.n_devices)
+        step_fn = make_sharded_nerf_train_step(model, ds.H, ds.W, ds.focal, mesh)
+        print(f"[train] sharded over {mesh.devices.size} devices", flush=True)
+    else:
+        # n_inner (lax.scan step batching) measured neutral on v5e once the
+        # trainer stopped syncing per step — keep 1 for fine-grained cadences
+        step_fn = make_nerf_train_step(model, ds.H, ds.W, ds.focal, n_inner=1)
+    trainer = Trainer(
+        cfg, model, step_fn, (images, poses), log_dir=log_dir,
+        mesh=mesh, main_process=is_main_process(),
+    )
     if resume:
         trainer.restore()
 
@@ -206,9 +230,12 @@ def train_nerf(
             test_psnr = float(psnr_fn(out["rgb_map"], jnp.asarray(ds.images[test_i])))
             trainer.logger.log(step=trainer.step, test_psnr=test_psnr)
             try:
-                import imageio.v2 as imageio
+                if is_main_process():
+                    import imageio.v2 as imageio
 
-                imageio.imwrite(out_dir / f"render_{trainer.step:08d}.png", to8b(out["rgb_map"]))
+                    imageio.imwrite(
+                        out_dir / f"render_{trainer.step:08d}.png", to8b(out["rgb_map"])
+                    )
             except Exception:
                 pass
 
@@ -227,7 +254,7 @@ def train_nerf(
     result = {**metrics, "test_psnr_mean": float(np.mean(psnrs))}
     trainer.logger.log(step=trainer.step, **{"test_psnr_mean": result["test_psnr_mean"]})
 
-    if render_video:
+    if render_video and is_main_process():
         frames = render_orbit(
             model, trainer.state.params, ds.H, ds.W, ds.K, ds.render_poses,
             occ_grid=trainer.state.occ_grid,

@@ -15,12 +15,16 @@ from pathlib import Path
 
 
 class MetricsLogger:
-    def __init__(self, path: str | Path, echo: bool = True):
+    def __init__(self, path: str | Path, echo: bool = True, enabled: bool = True):
         self.path = Path(path)
-        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.enabled = enabled  # False on non-main hosts (process_index > 0)
+        if enabled:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
         self.echo = echo
 
     def log(self, **metrics):
+        if not self.enabled:
+            return
         rec = {"ts": time.time(), **metrics}
         with self.path.open("a") as f:
             f.write(json.dumps(rec) + "\n")

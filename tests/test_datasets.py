@@ -148,3 +148,38 @@ def test_hard_scene_via_config():
     )
     ds = _load_dataset(cfg)
     assert ds.images.shape == (4, 32, 32, 3)
+
+
+def test_half_res_lanczos_filter(tmp_path):
+    """half_res_filter="lanczos" reproduces PIL's Lanczos-3 on float data
+    (the reference's exact filter, dataloader.py:76-90) and differs from
+    the area filter on non-smooth content."""
+    import numpy as np
+    from PIL import Image
+
+    from nerf_meets_mlx_tpu.datasets.blender import _half_res_area, _half_res_lanczos
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(16, 16, 4)).astype(np.float32)
+    lz = _half_res_lanczos(img)
+    assert lz.shape == (8, 8, 4)
+    for c in range(4):
+        ref = np.asarray(
+            Image.fromarray(img[..., c], "F").resize((8, 8), Image.Resampling.LANCZOS)
+        )
+        np.testing.assert_array_equal(lz[..., c], ref)
+    area = _half_res_area(img)
+    assert not np.allclose(lz, area)
+
+
+def test_load_blender_half_res_filter_option(tmp_path):
+    import numpy as np
+
+    from nerf_meets_mlx_tpu.datasets.blender import load_blender_data
+    from nerf_meets_mlx_tpu.datasets.synthetic import write_blender_dataset
+
+    d = write_blender_dataset(tmp_path / "scene", resolution=16)
+    ds_area = load_blender_data(d, half_res=True)
+    ds_lz = load_blender_data(d, half_res=True, half_res_filter="lanczos")
+    assert ds_area.images.shape == ds_lz.images.shape
+    assert not np.allclose(ds_area.images, ds_lz.images)

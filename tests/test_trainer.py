@@ -188,3 +188,79 @@ def test_wall_clock_checkpointing(tmp_path):
     )
     trainer.run(3)
     assert latest_step(tmp_path / "run" / "ckpt") is not None
+
+
+def test_no_replacement_pixel_sampling():
+    """pixel_sampling="no_replacement" must draw unique pixels inside the
+    precrop window (reference: np.random.choice(..., replace=False),
+    __test_nerf.py:213-236)."""
+    import dataclasses
+
+    import numpy as np
+
+    from nerf_meets_mlx_tpu.config import lego_hierarchical
+    from nerf_meets_mlx_tpu.engine.trainer import sample_train_rays
+
+    cfg = lego_hierarchical()
+    cfg = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, n_rand=256, pixel_sampling="no_replacement",
+            precrop_iters=10, precrop_frac=0.5,
+        )
+    )
+    H = W = 32
+    focal = 30.0
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+    images = jnp.asarray(np.random.default_rng(0).uniform(size=(2, H, W, 3)), jnp.float32)
+    poses = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None, :3, :4], (2, 1, 1))
+
+    # inside the precrop window: all pixels unique AND within the crop
+    ro, rd, tgt, _ = sample_train_rays(
+        cfg, jnp.int32(0), images, poses, K, H, W, 256, jax.random.PRNGKey(1)
+    )
+    # recover pixel ids from the targets by matching rays: rerun to get px/py
+    # directly through a tiny shim — ray dirs are injective in (px, py)
+    dirs = np.asarray(rd)
+    uniq = np.unique(dirs.round(6), axis=0)
+    assert uniq.shape[0] == 256  # no duplicates (with replacement: ~15% dup at 256/256)
+
+    # after the window: crop n_rand == full-frame pixel count works too
+    cfg2 = cfg.replace(train=dataclasses.replace(cfg.train, precrop_iters=0, n_rand=H * W))
+    ro, rd, tgt, _ = sample_train_rays(
+        cfg2, jnp.int32(50), images, poses, K, H, W, H * W, jax.random.PRNGKey(2)
+    )
+    dirs = np.asarray(rd)
+    assert np.unique(dirs.round(6), axis=0).shape[0] == H * W  # exact cover
+
+
+def test_no_replacement_respects_precrop_window():
+    import dataclasses
+
+    import numpy as np
+
+    from nerf_meets_mlx_tpu.config import lego_hierarchical
+    from nerf_meets_mlx_tpu.engine.trainer import sample_train_rays
+
+    H = W = 16
+    cfg = lego_hierarchical()
+    cfg = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, n_rand=16, pixel_sampling="no_replacement",
+            precrop_iters=100, precrop_frac=0.5,
+        )
+    )
+    focal = 20.0
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+    # image encodes its own pixel coords so targets reveal sampled pixels
+    coords = np.zeros((1, H, W, 3), np.float32)
+    coords[0, ..., 0] = np.arange(H)[:, None] / H  # y
+    coords[0, ..., 1] = np.arange(W)[None, :] / W  # x
+    images = jnp.asarray(coords)
+    poses = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None, :3, :4], (1, 1, 1))
+    _, _, tgt, _ = sample_train_rays(
+        cfg, jnp.int32(0), images, poses, K, H, W, 16, jax.random.PRNGKey(0)
+    )
+    ys = np.asarray(tgt[:, 0]) * H
+    xs = np.asarray(tgt[:, 1]) * W
+    assert ys.min() >= H * 0.25 - 1e-3 and ys.max() < H * 0.75
+    assert xs.min() >= W * 0.25 - 1e-3 and xs.max() < W * 0.75

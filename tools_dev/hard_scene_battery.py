@@ -13,6 +13,8 @@ import sys
 import time
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 OUT = Path("/tmp/hard_battery")
 OUT.mkdir(parents=True, exist_ok=True)
 RESULTS = OUT / "results.jsonl"
