@@ -99,11 +99,17 @@ class NeRFModel:
         return HashEncodeSpec.from_encoding(self.pos_enc).vmem_ok
 
     def _encode_pos(self, params: Params, pts: jnp.ndarray) -> jnp.ndarray:
+        # positions are data or stop-gradient z-samples here -> no dX in
+        # either fused-encode path
         if self._use_hash_kernel():
             from nerf_meets_mlx_tpu.kernels.hash_encode import hash_encode_apply
 
-            # positions are data or stop-gradient z-samples here -> no dX
             return hash_encode_apply(self.pos_enc, params["pos_enc"], pts)
+        if self.cfg.use_fused_kernel and self.cfg.pos_encoding.kind == "cp_grid":
+            # hat matrices built in VMEM instead of HBM (kernels/cp_encode.py)
+            from nerf_meets_mlx_tpu.kernels.cp_encode import cp_encode_apply
+
+            return cp_encode_apply(self.pos_enc, params["pos_enc"], pts)
         return self.pos_enc.apply(params["pos_enc"], pts)
 
     def query(
