@@ -164,16 +164,15 @@ _SCENES = {"blobs": scene_density_color_blobs, "hard": scene_density_color_hard}
 scene_density_color = scene_density_color_blobs
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "n_samples", "scene"))
-def _render_gt(
-    H: int, W: int, K: jnp.ndarray, c2w: jnp.ndarray, n_samples: int = 256,
+@functools.partial(jax.jit, static_argnames=("n_samples", "scene"))
+def _march_gt(
+    rays_o: jnp.ndarray, rays_d: jnp.ndarray, n_samples: int = 256,
     scene: str = "blobs",
 ):
-    """Dense ray-march of the analytic scene; returns [H, W, 4] RGBA."""
-    rays_o, rays_d = get_rays(H, W, K, c2w)
+    """Dense ray-march of the analytic scene over a ray block [..., 3]."""
     near, far = 2.0, 6.0
     t = jnp.linspace(near, far, n_samples)
-    pts = rays_o[..., None, :] + t[:, None] * rays_d[..., None, :]  # [H,W,S,3]
+    pts = rays_o[..., None, :] + t[:, None] * rays_d[..., None, :]  # [...,S,3]
     sigma, color = _SCENES[scene](pts)
     delta = (far - near) / (n_samples - 1) * jnp.linalg.norm(
         rays_d, axis=-1, keepdims=True
@@ -200,14 +199,22 @@ def render_gt_image(
     """Ground-truth RGBA render of the analytic scene (float32 in [0,1]).
 
     The hard scene uses 2x the samples by default: its densities are step
-    functions, so GT edge placement is sampling-limited."""
+    functions, so GT edge placement is sampling-limited. Rendering chunks
+    over row slabs so high resolutions (800^2 x 512 samples) never
+    materialize the full [H, W, S, 3] point cube."""
     if scene == "hard" and n_samples == 256:
         n_samples = 512
-    out = _render_gt(
-        H, W, jnp.asarray(K, jnp.float32), jnp.asarray(c2w, jnp.float32),
-        n_samples, scene,
-    )
-    return np.asarray(out, dtype=np.float32)
+    rays_o, rays_d = get_rays(H, W, jnp.asarray(K, jnp.float32), jnp.asarray(c2w, jnp.float32))
+    # bound the in-flight point cube to ~32M points per slab
+    rows = max(1, min(H, (32_000_000 // max(W * n_samples, 1)) or 1))
+    outs = []
+    for r0 in range(0, H, rows):
+        outs.append(
+            np.asarray(
+                _march_gt(rays_o[r0 : r0 + rows], rays_d[r0 : r0 + rows], n_samples, scene)
+            )
+        )
+    return np.concatenate(outs, axis=0).astype(np.float32)
 
 
 def _split_poses(n: int, seed: int) -> np.ndarray:

@@ -8,6 +8,7 @@ periodic test-pose renders, and the final orbit video.
 from __future__ import annotations
 
 import dataclasses
+from pathlib import Path
 from typing import Optional
 
 import jax
@@ -178,6 +179,24 @@ def train_nerf(
 
     out_dir = trainer.log_dir
     tcfg = cfg.train
+
+    # persist the resolved experiment config (reference: args.txt/config.txt
+    # dumps, __test_nerf.py:184-193) — sorted `key = value` flat view plus
+    # the full nested config, and a copy of any text-config overlay
+    if is_main_process():
+        flat = []
+
+        def _walk(prefix, obj):
+            for k, v in sorted(dataclasses.asdict(obj).items()) if dataclasses.is_dataclass(obj) else sorted(obj.items()):
+                if isinstance(v, dict):
+                    _walk(f"{prefix}{k}.", v)
+                else:
+                    flat.append(f"{prefix}{k} = {v}")
+
+        _walk("", dataclasses.asdict(cfg))
+        (out_dir / "args.txt").write_text("\n".join(flat) + "\n")
+        if config_txt:
+            (out_dir / "config.txt").write_text(Path(config_txt).read_text())
 
     if profile_dir:
         from nerf_meets_mlx_tpu.utils.profiling import trace

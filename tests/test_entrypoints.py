@@ -178,3 +178,26 @@ def test_train_entrypoint_sharded_end_to_end(tmp_path, capsys):
     )
     assert "sharded over" not in capsys.readouterr().out
     assert np.isfinite(out3["test_psnr_mean"])
+
+
+def test_train_entrypoint_dumps_config(tmp_path):
+    """Reference parity: the experiment dir persists the resolved config
+    (args.txt sorted key = value; config.txt copies the overlay) —
+    __test_nerf.py:184-193."""
+    cfg_txt = tmp_path / "overlay.txt"
+    cfg_txt.write_text("N_samples = 4\n")
+    from nerf_meets_mlx_tpu.entrypoints import train_nerf
+
+    train_nerf(
+        preset="lego_coarse",
+        config_txt=str(cfg_txt),
+        max_iters=2,
+        log_dir=tmp_path / "logs",
+        render_video=False,
+        synth_resolution=16,
+        shard=False,
+    )
+    args = (tmp_path / "logs" / "args.txt").read_text()
+    assert "render.n_samples = 4" in args
+    assert "train.max_iters = 2" in args
+    assert (tmp_path / "logs" / "config.txt").read_text() == "N_samples = 4\n"
