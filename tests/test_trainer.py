@@ -264,3 +264,38 @@ def test_no_replacement_respects_precrop_window():
     xs = np.asarray(tgt[:, 1]) * W
     assert ys.min() >= H * 0.25 - 1e-3 and ys.max() < H * 0.75
     assert xs.min() >= W * 0.25 - 1e-3 and xs.max() < W * 0.75
+
+
+def test_encoding_weight_decay_targets_tables_only():
+    """encoding_weight_decay shrinks pos_enc params and leaves the MLP
+    untouched (zero-gradient update isolates the decay term)."""
+    import dataclasses
+
+    import numpy as np
+
+    from nerf_meets_mlx_tpu.config import lego_ingp
+    from nerf_meets_mlx_tpu.engine.train_state import make_optimizer
+    from nerf_meets_mlx_tpu.models import create_nerf
+    import optax
+
+    cfg = lego_ingp()
+    assert cfg.train.encoding_weight_decay > 0
+    cfg = cfg.replace(
+        pos_encoding=dataclasses.replace(
+            cfg.pos_encoding, hash_n_levels=2, hash_log2_table_size=8
+        )
+    )
+    model = create_nerf(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.train)
+    opt_state = tx.init(params)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(zeros, opt_state, params)
+    new = optax.apply_updates(params, updates)
+
+    t0 = np.asarray(params["pos_enc"]["tables"])
+    t1 = np.asarray(new["pos_enc"]["tables"])
+    np.testing.assert_allclose(t1, t0 * (1 - cfg.train.encoding_weight_decay), rtol=1e-5)
+    w0 = np.asarray(params["coarse"]["pos_linears"][0]["w"])
+    w1 = np.asarray(new["coarse"]["pos_linears"][0]["w"])
+    np.testing.assert_array_equal(w0, w1)

@@ -20,9 +20,28 @@ OUT.mkdir(parents=True, exist_ok=True)
 RESULTS = OUT / "results.jsonl"
 
 
+def _views() -> int:
+    if "--views" in sys.argv:
+        return int(sys.argv[sys.argv.index("--views") + 1])
+    return 0  # preset default (20)
+
+
 def run_one(tag, preset, max_iters, resolution, log_dir, synth_scene="hard",
             extra=None):
     from nerf_meets_mlx_tpu.entrypoints.train_nerf import train_nerf
+
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+    if only and not any(tag.startswith(o) for o in only):
+        return None
+
+    extra = dict(extra or {})
+    if _views():
+        cfgf = log_dir.parent / f"{tag}_views.txt"
+        cfgf.parent.mkdir(parents=True, exist_ok=True)
+        cfgf.write_text(f"synth_n_train = {_views()}\n")
+        extra["config_txt"] = str(cfgf)
 
     t0 = time.time()
     metrics = train_nerf(
@@ -32,7 +51,7 @@ def run_one(tag, preset, max_iters, resolution, log_dir, synth_scene="hard",
         render_video=False,
         synth_resolution=resolution,
         synth_scene=synth_scene,
-        **(extra or {}),
+        **extra,
     )
     row = {
         "tag": tag,
