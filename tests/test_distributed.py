@@ -41,3 +41,62 @@ def test_timer_rate():
     assert t.tick(5) > 0
     t.reset()
     assert t._n == 0
+
+
+def test_non_main_process_gating(tmp_path, monkeypatch):
+    """Trainer on a non-main host must not write logs or checkpoints, and
+    the logger must be silent — the multi-host write-gating contract
+    (parallel/distributed.py, engine/trainer.py)."""
+    import dataclasses
+
+    from nerf_meets_mlx_tpu.config import lego_fast
+    from nerf_meets_mlx_tpu.engine import Trainer, make_nerf_train_step
+    from nerf_meets_mlx_tpu.models import create_nerf
+
+    cfg = lego_fast()
+    cfg = cfg.replace(
+        render=dataclasses.replace(cfg.render, n_samples=4, n_importance=4),
+        mlp=dataclasses.replace(cfg.mlp, net_depth=2, net_width=16),
+        mlp_fine=dataclasses.replace(cfg.mlp_fine, net_depth=2, net_width=16),
+        train=dataclasses.replace(
+            cfg.train, n_rand=32, precrop_iters=0, i_weights=1
+        ),
+    )
+    model = create_nerf(cfg)
+    H = W = 8
+    images = jnp.zeros((1, H, W, 3))
+    poses = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None, :3, :4], (1, 1, 1))
+    step = make_nerf_train_step(model, H, W, 10.0)
+    tr = Trainer(
+        cfg, model, step, (images, poses), log_dir=tmp_path / "worker",
+        main_process=False,
+    )
+    tr.run(2, log_every=1)
+    tr.save()
+    assert not (tmp_path / "worker" / "metrics.jsonl").exists()
+    assert not (tmp_path / "worker" / "ckpt").exists()
+
+    # main process writes both
+    tr2 = Trainer(
+        cfg, model, step, (images, poses), log_dir=tmp_path / "main",
+        main_process=True,
+    )
+    tr2.run(2, log_every=1)
+    tr2.save()
+    assert (tmp_path / "main" / "metrics.jsonl").exists()
+    assert (tmp_path / "main" / "ckpt").exists()
+
+
+def test_host_local_batch_multiprocess(monkeypatch):
+    """host_local_batch slices the global batch by process count."""
+    from nerf_meets_mlx_tpu.parallel import distributed as dist
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    assert dist.host_local_batch(4096) == 1024
+    with pytest.raises(ValueError):
+        dist.host_local_batch(4097)
+
+
+def test_is_main_process_multiprocess(monkeypatch):
+    monkeypatch.setattr(jax, "process_index", lambda: 3)
+    assert not is_main_process()
