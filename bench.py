@@ -37,7 +37,7 @@ def make_bench_setup(n_rand: int = 4096, fused: bool = True, preset: str = "lego
         train=dataclasses.replace(cfg.train, n_rand=n_rand, precrop_iters=0),
         use_fused_kernel=(
             fused and jax.default_backend() == "tpu"
-            and cfg.pos_encoding.kind in ("sinusoidal", "hash_grid", "cp_grid")
+            and cfg.pos_encoding.kind in ("sinusoidal", "hash_grid")
         ),
     )
     model = create_nerf(cfg)

@@ -138,7 +138,6 @@ def train_nerf(
             and cfg.dir_encoding.kind == "sinusoidal"
         )
         or cfg.pos_encoding.kind == "hash_grid"  # Pallas hash-encode kernel
-        or cfg.pos_encoding.kind == "cp_grid"    # Pallas CP-encode kernel
     ):
         cfg = cfg.replace(use_fused_kernel=True)
 

@@ -105,11 +105,11 @@ class NeRFModel:
             from nerf_meets_mlx_tpu.kernels.hash_encode import hash_encode_apply
 
             return hash_encode_apply(self.pos_enc, params["pos_enc"], pts)
-        if self.cfg.use_fused_kernel and self.cfg.pos_encoding.kind == "cp_grid":
-            # hat matrices built in VMEM instead of HBM (kernels/cp_encode.py)
-            from nerf_meets_mlx_tpu.kernels.cp_encode import cp_encode_apply
-
-            return cp_encode_apply(self.pos_enc, params["pos_enc"], pts)
+        # NOTE: kernels/cp_encode.py exists but measured SLOWER than the XLA
+        # CP path on v5e (fwd 8.5 vs 5.5 ms, grad 19.8 vs 7.7 ms at the fine
+        # batch): its per-(level, block) [*, R]@[R, C=16] GEMMs use 1/8 of
+        # the MXU lanes, while XLA runs one big well-packed GEMM. The XLA
+        # path stays the lego_cp hot path (docs/DESIGN.md).
         return self.pos_enc.apply(params["pos_enc"], pts)
 
     def query(
