@@ -1,0 +1,68 @@
+"""BASELINE config-4 analog: lego_full recipe (800^2, 64+128 samples,
+200k iters, lr decay) on the hard procedural scene — the closest runnable
+stand-in for the reference's 200k-iter lego milestone
+(/root/reference/README.md:43-46) in a dataset-less environment.
+
+Chained-resume loop: train in slices so a killed tunnel/job only loses one
+slice (the trainer checkpoints on wall-clock + step cadence; train_nerf
+resumes from the latest checkpoint automatically).
+
+Usage: python tools_dev/config4_long_run.py [--iters 200000] [--res 800]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+OUT = Path("/tmp/config4_long")
+OUT.mkdir(parents=True, exist_ok=True)
+
+
+def arg(name, default):
+    if name in sys.argv:
+        return int(sys.argv[sys.argv.index(name) + 1])
+    return default
+
+
+def main():
+    total = arg("--iters", 200_000)
+    res = arg("--res", 800)
+    slice_iters = arg("--slice", 25_000)
+    views = arg("--views", 50)
+
+    from nerf_meets_mlx_tpu.entrypoints.train_nerf import train_nerf
+
+    cfgf = OUT / "views.txt"
+    cfgf.write_text(f"synth_n_train = {views}\n")
+
+    done = 0
+    while done < total:
+        done = min(done + slice_iters, total)
+        t0 = time.time()
+        m = train_nerf(
+            preset="lego_full",
+            max_iters=done,
+            log_dir=str(OUT / "run"),
+            render_video=(done >= total),  # orbit video only at the end
+            synth_resolution=res,
+            synth_scene="hard",
+            config_txt=str(cfgf),
+        )
+        row = {
+            "through_iters": done,
+            "test_psnr_mean": round(float(m.get("test_psnr_mean", -1)), 2),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        with (OUT / "progress.jsonl").open("a") as f:
+            f.write(json.dumps(row) + "\n")
+        print("[config4]", json.dumps(row), flush=True)
+    print("[config4] done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

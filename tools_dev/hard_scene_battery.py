@@ -15,15 +15,17 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 
-OUT = Path("/tmp/hard_battery")
-OUT.mkdir(parents=True, exist_ok=True)
-RESULTS = OUT / "results.jsonl"
-
-
 def _views() -> int:
     if "--views" in sys.argv:
         return int(sys.argv[sys.argv.index("--views") + 1])
     return 0  # preset default (20)
+
+
+# separate tree per view count — same dirs would silently RESUME completed
+# runs from a previous battery instead of retraining
+OUT = Path(f"/tmp/hard_battery_v{_views() or 20}")
+OUT.mkdir(parents=True, exist_ok=True)
+RESULTS = OUT / "results.jsonl"
 
 
 def run_one(tag, preset, max_iters, resolution, log_dir, synth_scene="hard",
