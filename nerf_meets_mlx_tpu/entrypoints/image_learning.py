@@ -41,10 +41,11 @@ def image_learning(
     (__viser_image_learning.py:238-315) without the viser dependency."""
     cfg = image2d()
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, max_iters=max_iters))
-    if jax.default_backend() == "tpu":
-        # one-launch fused train step (kernels/fused_image.py); off-TPU the
-        # kernel would run in the slow interpreter — keep the XLA path there
-        cfg = cfg.replace(use_fused_kernel=True)
+    # The fused image kernel (kernels/fused_image.py) measured SLOWER than
+    # XLA at this workload's 2500-pixel batches (1078 vs 1221 steps/s on
+    # v5e-1 — DESIGN.md "fused image-learning train kernel: measured, NOT
+    # wired"), so the XLA value_and_grad path stays the default everywhere;
+    # the kernel remains available via use_fused_kernel for larger batches.
     img = load_image_2d(image_path, size)
     H, W = img.shape[:2]
     coords, colors = pixel_dataset(img)
