@@ -26,7 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_bench_setup(n_rand: int = 4096, fused: bool = True, preset: str = "lego_hierarchical"):
+def make_bench_setup(
+    n_rand: int = 4096,
+    fused: bool = True,
+    preset: str = "lego_hierarchical",
+    n_inner: int = 1,
+):
     from nerf_meets_mlx_tpu.config import PRESETS
     from nerf_meets_mlx_tpu.engine.train_state import create_train_state
     from nerf_meets_mlx_tpu.engine.trainer import make_nerf_train_step
@@ -43,7 +48,7 @@ def make_bench_setup(n_rand: int = 4096, fused: bool = True, preset: str = "lego
     model = create_nerf(cfg)
     H = W = 400
     focal = 0.5 * W / np.tan(0.5 * 0.6911112070083618)
-    step = make_nerf_train_step(model, H, W, focal)
+    step = make_nerf_train_step(model, H, W, focal, n_inner=n_inner)
     occ = None
     if cfg.render.occupancy:
         from nerf_meets_mlx_tpu.acceleration.occupancy import init_occupancy_grid
@@ -64,21 +69,28 @@ def make_bench_setup(n_rand: int = 4096, fused: bool = True, preset: str = "lego
 
 def bench_train_step(
     n_warmup: int = 5, n_iters: int = 50, n_rand: int = 4096,
-    preset: str = "lego_hierarchical",
+    preset: str = "lego_hierarchical", n_inner: int = 1,
 ) -> float:
-    step, state, images, poses, n_rand = make_bench_setup(n_rand, preset=preset)
+    """Returns train rays/sec. With n_inner > 1 each dispatch advances
+    n_inner optimizer steps via the trainer's lax.scan step batching
+    (same training semantics; amortizes the tunnel's per-execution gap)."""
+    step, state, images, poses, n_rand = make_bench_setup(
+        n_rand, preset=preset, n_inner=n_inner
+    )
     key = jax.random.PRNGKey(0)
+    n_warmup = -(-n_warmup // n_inner)
+    n_calls = -(-n_iters // n_inner)
     for _ in range(n_warmup):
         state, aux = step(state, images, poses, key)
     # force a device->host transfer as the barrier: on the tunneled
     # experimental platform block_until_ready alone is not a reliable fence
     float(aux["loss"])
     t0 = time.perf_counter()
-    for _ in range(n_iters):
+    for _ in range(n_calls):
         state, aux = step(state, images, poses, key)
     float(aux["loss"])
     dt = time.perf_counter() - t0
-    return n_rand * n_iters / dt
+    return n_rand * n_calls * n_inner / dt
 
 
 def bench_scaling(n_devices: int = 0, rays_per_device: int = 4096, n_iters: int = 30):
@@ -178,7 +190,10 @@ def main():
     preset = "lego_hierarchical"
     if "--preset" in sys.argv:  # e.g. --preset lego_occ: accelerated configs
         preset = sys.argv[sys.argv.index("--preset") + 1]
-    rays_per_sec = bench_train_step(preset=preset)
+    n_inner = 1
+    if "--inner" in sys.argv:  # lax.scan step batching (trainer n_inner)
+        n_inner = int(sys.argv[sys.argv.index("--inner") + 1])
+    rays_per_sec = bench_train_step(preset=preset, n_inner=n_inner)
 
     baseline_path = Path(__file__).parent / "bench_baseline.json"
     if baseline_path.exists():

@@ -29,6 +29,7 @@ def main(argv=None):
     t.add_argument("--synth-resolution", type=int, default=None, help="procedural scene resolution (synthetic dataset only)")
     t.add_argument("--synth-scene", default=None, choices=("blobs", "hard"), help="procedural scene: smooth blobs or the hard CSG benchmark scene")
     t.add_argument("--no-shard", action="store_true", help="force the single-device step even with multiple visible devices")
+    t.add_argument("--inner", type=int, default=1, help="optimizer steps per dispatch (lax.scan batching; amortizes per-execution latency, cadences quantize to it)")
     t.add_argument("--precrop-iters", type=int, default=None, help="override the preset's central-crop warmup length")
     t.add_argument("--viewer-port", type=int, default=None, help="serve the live web viewer on this port")
     t.add_argument("--llff-factor", type=int, default=None, help="LLFF image downsample factor (llff preset)")
@@ -74,6 +75,7 @@ def main(argv=None):
             spherify=args.spherify,
             shard=not args.no_shard,
             dv_shape=args.shape,
+            inner=args.inner,
         )
     elif args.cmd == "render":
         from nerf_meets_mlx_tpu.entrypoints import render_only

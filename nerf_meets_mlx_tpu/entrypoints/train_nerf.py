@@ -72,6 +72,7 @@ def train_nerf(
     spherify: bool = False,
     dv_shape: Optional[str] = None,
     shard: bool = True,
+    inner: int = 1,
 ) -> dict:
     """Train a NeRF; returns final metrics incl. held-out test PSNR.
 
@@ -166,11 +167,17 @@ def train_nerf(
         step_fn = make_sharded_nerf_train_step(model, ds.H, ds.W, ds.focal, mesh)
         print(f"[train] sharded over {mesh.devices.size} devices", flush=True)
     else:
-        # n_inner (lax.scan step batching) measured neutral on v5e once the
-        # trainer stopped syncing per step — keep 1 for fine-grained cadences
-        step_fn = make_nerf_train_step(model, ds.H, ds.W, ds.focal, n_inner=1)
+        # inner > 1 batches steps in a lax.scan so one dispatch advances
+        # several optimizer steps — wins when per-execution dispatch
+        # latency (e.g. a tunneled chip) leaves the device idle between
+        # steps; neutral when the async queue already hides it. Cadences
+        # (logging, checkpoint, eval) then quantize to `inner`.
+        step_fn = make_nerf_train_step(
+            model, ds.H, ds.W, ds.focal, n_inner=max(1, inner)
+        )
     trainer = Trainer(
         cfg, model, step_fn, (images, poses), log_dir=log_dir,
+        steps_per_call=(1 if mesh is not None else max(1, inner)),
         mesh=mesh, main_process=is_main_process(),
     )
     if resume:

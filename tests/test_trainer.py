@@ -299,3 +299,30 @@ def test_encoding_weight_decay_targets_tables_only():
     w0 = np.asarray(params["coarse"]["pos_linears"][0]["w"])
     w1 = np.asarray(new["coarse"]["pos_linears"][0]["w"])
     np.testing.assert_array_equal(w0, w1)
+
+
+def test_nerf_step_n_inner_matches_sequential():
+    """n_inner=K (one dispatch = K scanned optimizer steps) must follow the
+    exact same training trajectory as K sequential single-step dispatches:
+    the scan body folds the PRNG key with state.step, so the streams are
+    identical by construction."""
+    cfg = _tiny_nerf_cfg()
+    model = create_nerf(cfg)
+    ds = make_synthetic_scene(n_train=2, n_val=1, n_test=1, resolution=16)
+    images = jnp.asarray(ds.images[ds.i_train])
+    poses = jnp.asarray(ds.poses[ds.i_train, :3, :4])
+    key = jax.random.PRNGKey(3)
+
+    step1 = make_nerf_train_step(model, ds.H, ds.W, ds.focal)
+    sA = create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train)
+    for _ in range(4):
+        sA, auxA = step1(sA, images, poses, key)
+
+    stepK = make_nerf_train_step(model, ds.H, ds.W, ds.focal, n_inner=4)
+    sB = create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train)
+    sB, auxB = stepK(sB, images, poses, key)
+
+    assert int(sB.step) == int(sA.step) == 4
+    np.testing.assert_allclose(float(auxB["loss"]), float(auxA["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(sA.params), jax.tree_util.tree_leaves(sB.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
