@@ -58,8 +58,13 @@ def main():
             "test_psnr_mean": round(float(m.get("test_psnr_mean", -1)), 2),
             "wall_s": round(time.time() - t0, 1),
         }
-        with (OUT / "progress.jsonl").open("a") as f:
-            f.write(json.dumps(row) + "\n")
+        # mirror into the repo: /tmp is wiped between sessions (round-3
+        # lesson — a full battery's results were lost that way)
+        repo_results = Path(__file__).resolve().parent.parent / "docs" / "results"
+        repo_results.mkdir(parents=True, exist_ok=True)
+        for dest in (OUT / "progress.jsonl", repo_results / "config4_hard_800.jsonl"):
+            with dest.open("a") as f:
+                f.write(json.dumps(row) + "\n")
         print("[config4]", json.dumps(row), flush=True)
     print("[config4] done", flush=True)
 

@@ -64,9 +64,15 @@ def run_one(tag, preset, max_iters, resolution, log_dir, synth_scene="hard",
         "train_psnr": round(float(metrics.get("psnr", -1)), 2),
         "wall_s": round(time.time() - t0, 1),
     }
-    with RESULTS.open("a") as f:
-        f.write(json.dumps(row) + "\n")
-    print("[battery]", json.dumps(row), flush=True)
+    # mirror into the repo: /tmp is wiped between sessions (round-3 lesson —
+    # a full battery's results were lost that way)
+    repo_results = Path(__file__).resolve().parent.parent / "docs" / "results"
+    repo_results.mkdir(parents=True, exist_ok=True)
+    row_out = dict(row, views=_views() or 20)
+    for dest in (RESULTS, repo_results / "hard_battery.jsonl"):
+        with dest.open("a") as f:
+            f.write(json.dumps(row_out) + "\n")
+    print("[battery]", json.dumps(row_out), flush=True)
     return row
 
 
