@@ -19,7 +19,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-OUT = Path("/tmp/config4_long")
+# Durable (gitignored) home for the checkpoint chain: /tmp is wiped between
+# sessions and twice reset this run's 200k trajectory (round-3/4 lesson).
+OUT = Path(__file__).resolve().parent.parent / ".runs" / "config4_long"
 OUT.mkdir(parents=True, exist_ok=True)
 
 
@@ -40,7 +42,14 @@ def main():
     cfgf = OUT / "views.txt"
     cfgf.write_text(f"synth_n_train = {views}\n")
 
+    # Resume from the latest checkpoint step so no-op slices are never run.
     done = 0
+    ckpt_dir = OUT / "run" / "ckpt"
+    if ckpt_dir.exists():
+        steps = [int(p.name.split("_")[-1]) for p in ckpt_dir.glob("step_*")]
+        if steps:
+            done = (max(steps) // slice_iters) * slice_iters
+            print(f"[config4] resuming past {done} iters", flush=True)
     while done < total:
         done = min(done + slice_iters, total)
         t0 = time.time()
@@ -58,11 +67,18 @@ def main():
             "test_psnr_mean": round(float(m.get("test_psnr_mean", -1)), 2),
             "wall_s": round(time.time() - t0, 1),
         }
-        # mirror into the repo: /tmp is wiped between sessions (round-3
-        # lesson — a full battery's results were lost that way)
+        # mirror into the repo, skipping no-op resume slices (a resume that
+        # did not advance through_iters would otherwise append duplicate rows)
         repo_results = Path(__file__).resolve().parent.parent / "docs" / "results"
         repo_results.mkdir(parents=True, exist_ok=True)
         for dest in (OUT / "progress.jsonl", repo_results / "config4_hard_800.jsonl"):
+            last = None
+            if dest.exists():
+                lines = [l for l in dest.read_text().splitlines() if l.strip()]
+                if lines:
+                    last = json.loads(lines[-1])
+            if last is not None and last.get("through_iters", -1) >= row["through_iters"]:
+                continue
             with dest.open("a") as f:
                 f.write(json.dumps(row) + "\n")
         print("[config4]", json.dumps(row), flush=True)
