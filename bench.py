@@ -42,7 +42,7 @@ def make_bench_setup(
         train=dataclasses.replace(cfg.train, n_rand=n_rand, precrop_iters=0),
         use_fused_kernel=(
             fused and jax.default_backend() == "tpu"
-            and cfg.pos_encoding.kind in ("sinusoidal", "hash_grid")
+            and cfg.pos_encoding.kind in ("sinusoidal", "hash_grid", "cp_grid")
         ),
     )
     model = create_nerf(cfg)
@@ -74,6 +74,7 @@ def bench_train_step(
     """Returns train rays/sec. With n_inner > 1 each dispatch advances
     n_inner optimizer steps via the trainer's lax.scan step batching
     (same training semantics; amortizes the tunnel's per-execution gap)."""
+    n_inner = max(1, n_inner)  # --inner 0/negative would break the ceil-divs
     step, state, images, poses, n_rand = make_bench_setup(
         n_rand, preset=preset, n_inner=n_inner
     )

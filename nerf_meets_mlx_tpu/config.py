@@ -64,6 +64,10 @@ class EncodingConfig:
     hash_features_per_level: int = 2
     hash_log2_table_size: int = 19
     hash_init_scale: float = 1e-4
+    # GEMM operand dtype for the Pallas hash-encode fast path ("bfloat16"
+    # rounds the looked-up table values to bf16 — the precision regime
+    # INGP/tcnn train in; the XLA gather path always reads f32)
+    hash_compute_dtype: str = "float32"
     # CP low-rank grid (TensoRF-style; encoding/cp_grid.py) — the TPU-native
     # fast neural field: 1-D factor lines interpolated via hat-matrix GEMMs,
     # zero gathers (the hash grid above is gather-bound on TPU)
@@ -330,6 +334,12 @@ def config_from_text(path: str | Path, base: Optional[ExperimentConfig] = None) 
         lindisp=bool(kv.get("lindisp", cfg.render.lindisp)),
         ndc=(not bool(kv["no_ndc"])) if "no_ndc" in kv else cfg.render.ndc,
         ray_chunk=int(kv.get("chunk", cfg.render.ray_chunk)),
+        occupancy=bool(kv.get("occupancy", cfg.render.occupancy)),
+        aabb=(
+            tuple(float(v) for v in str(kv["aabb"]).split(","))
+            if "aabb" in kv
+            else cfg.render.aabb
+        ),
     )
     train = dataclasses.replace(
         cfg.train,
@@ -386,6 +396,16 @@ def config_from_text(path: str | Path, base: Optional[ExperimentConfig] = None) 
         pos_enc = dataclasses.replace(pos_enc, kind="identity")
     elif "multires" in kv:
         pos_enc = dataclasses.replace(pos_enc, n_freqs=int(kv["multires"]))
+    # hash-grid sizing overrides (our extension — the reference text format
+    # predates its WIP hash encoding)
+    hash_keys = {
+        "hash_n_levels": int, "hash_min_res": int, "hash_max_res": int,
+        "hash_features_per_level": int, "hash_log2_table_size": int,
+        "hash_compute_dtype": str,
+    }
+    hash_kv = {k: cast(kv[k]) for k, cast in hash_keys.items() if k in kv}
+    if hash_kv:
+        pos_enc = dataclasses.replace(pos_enc, **hash_kv)
     if dir_enc is not None and "multires_views" in kv:
         dir_enc = dataclasses.replace(dir_enc, n_freqs=int(kv["multires_views"]))
     return cfg.replace(

@@ -53,6 +53,9 @@ class HashGridEncoding:
     # world-space bounding box mapped to the unit cube before hashing
     bbox_min: float = -1.5
     bbox_max: float = 1.5
+    # GEMM operand dtype for the Pallas kernel fast path (this XLA apply()
+    # always reads tables in f32); "bfloat16" = the INGP/tcnn half regime
+    compute_dtype: str = "float32"
 
     @property
     def out_dim(self) -> int:

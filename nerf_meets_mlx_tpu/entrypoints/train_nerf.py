@@ -166,6 +166,11 @@ def train_nerf(
         mesh = make_mesh(cfg.parallel.n_devices)
         step_fn = make_sharded_nerf_train_step(model, ds.H, ds.W, ds.focal, mesh)
         print(f"[train] sharded over {mesh.devices.size} devices", flush=True)
+        if inner > 1:
+            print(
+                "[train] --inner is ignored on the sharded path "
+                "(step batching is single-device only)", flush=True,
+            )
     else:
         # inner > 1 batches steps in a lax.scan so one dispatch advances
         # several optimizer steps — wins when per-execution dispatch

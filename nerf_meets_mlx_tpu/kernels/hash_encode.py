@@ -90,6 +90,11 @@ class HashEncodeSpec:
     bbox_max: float
     block: int = 512
     compute_dx: bool = False
+    # "bfloat16" casts the one-hot and packed-table GEMM operands (one-hot
+    # rows are exact in bf16; accumulation stays f32 via
+    # preferred_element_type, so the only error is bf16 rounding of the
+    # table values themselves — the precision regime INGP/tcnn train in)
+    compute_dtype: str = "float32"
 
     @staticmethod
     def from_encoding(
@@ -106,6 +111,7 @@ class HashEncodeSpec:
             bbox_max=enc.bbox_max,
             block=block,
             compute_dx=compute_dx,
+            compute_dtype=enc.compute_dtype,
         )
 
     @property
@@ -239,6 +245,7 @@ def _fwd_grid_kernel(spec: HashEncodeSpec, res_ref, x_ref, g_ref, out_ref):
     F = spec.features_per_level
     n8 = 8 * n
     l = pl.program_id(0)
+    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
 
     ux, uy, uz = _axes(spec, x_ref[:])
     ix, iy, iz, fx, fy, fz = _traced_level_coords(res_ref[0, l], ux, uy, uz)
@@ -246,8 +253,10 @@ def _fwd_grid_kernel(spec: HashEncodeSpec, res_ref, x_ref, g_ref, out_ref):
 
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, spec.hi), 1)
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, LANE), 1)
-    a = (hi_iota == hi_all).astype(jnp.float32)  # [8n, HI]
-    r = jnp.dot(a, g_ref[0], preferred_element_type=jnp.float32)  # [8n, F*128]
+    a = (hi_iota == hi_all).astype(cdt)  # [8n, HI] (one-hot: exact in bf16)
+    r = jnp.dot(
+        a, g_ref[0].astype(cdt), preferred_element_type=jnp.float32
+    )  # [8n, F*128]
     sel = (lo_iota == lo_all).astype(jnp.float32)  # [8n, 128]
     for f in range(F):
         plane = r[:, f * LANE : (f + 1) * LANE]
@@ -262,6 +271,7 @@ def _bwd_grid_kernel(spec: HashEncodeSpec, res_ref, x_ref, d_ref, dg_ref):
     n8 = 8 * n
     l = pl.program_id(0)
     first = pl.program_id(1) == 0
+    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
 
     ux, uy, uz = _axes(spec, x_ref[:])
     ix, iy, iz, fx, fy, fz = _traced_level_coords(res_ref[0, l], ux, uy, uz)
@@ -269,7 +279,7 @@ def _bwd_grid_kernel(spec: HashEncodeSpec, res_ref, x_ref, d_ref, dg_ref):
 
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, spec.hi), 1)
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, LANE), 1)
-    a = (hi_iota == hi_all).astype(jnp.float32)  # [8n, HI]
+    a = (hi_iota == hi_all).astype(cdt)  # [8n, HI]
     sel = (lo_iota == lo_all).astype(jnp.float32)  # [8n, 128]
     planes = []
     for f in range(F):
@@ -278,7 +288,8 @@ def _bwd_grid_kernel(spec: HashEncodeSpec, res_ref, x_ref, d_ref, dg_ref):
     ds = jnp.concatenate(planes, axis=1)  # [8n, F*128]
     # scatter-add into the tables = transposed contraction (a^T @ ds)
     dg_l = jax.lax.dot_general(
-        a, ds, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, ds.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # [HI, F*128]
 
     @pl.when(first)
@@ -448,6 +459,18 @@ def _res_array(spec: HashEncodeSpec) -> jnp.ndarray:
     return jnp.asarray([spec.resolutions], dtype=jnp.float32)
 
 
+def _hot_compiler_params(spec: HashEncodeSpec):
+    """Raise the scoped-VMEM cap for blocks whose [8*block, HI] one-hot +
+    [8*block, F*128] GEMM output exceed the default ~16 MB budget (the
+    physical VMEM is far larger; the default is a compiler heuristic)."""
+    a_bytes = 8 * spec.block * spec.hi * (2 if spec.compute_dtype == "bfloat16" else 4)
+    r_bytes = 8 * spec.block * spec.features_per_level * LANE * 4
+    need = 2 * (a_bytes + r_bytes) + spec.hi * spec.features_per_level * LANE * 4
+    if need <= 12 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=min(need + 8 * 1024 * 1024, 100 * 1024 * 1024))
+
+
 def _fwd_pallas(spec: HashEncodeSpec, g: jnp.ndarray, x: jnp.ndarray):
     xp, n = _pad_n(x, spec.block)
     F = spec.features_per_level
@@ -473,6 +496,7 @@ def _fwd_pallas(spec: HashEncodeSpec, g: jnp.ndarray, x: jnp.ndarray):
                 (1, spec.block, F), lambda l, i: (l, i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((L, xp.shape[0], F), jnp.float32),
+            compiler_params=_hot_compiler_params(spec),
             interpret=_interpret(),
         )(_res_array(spec), xp, g)
         # [L, N, F] -> [N, L*F]
@@ -529,6 +553,7 @@ def _bwd_pallas(spec: HashEncodeSpec, x: jnp.ndarray, vals, dout: jnp.ndarray):
                 (1, spec.hi, F * LANE), lambda l, i: (l, 0, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct(g_shape, jnp.float32),
+            compiler_params=_hot_compiler_params(spec),
             interpret=_interpret(),
         )(_res_array(spec), xp, d3)
         return dg, jnp.zeros_like(x)

@@ -318,28 +318,49 @@ class NeRFModel:
     # -- fused train path (one kernel launch per level) ----------------------
 
     @property
-    def supports_fused_train(self) -> bool:
-        """True when training can run through the one-launch
-        forward+composite+loss-grad+backward kernel (kernels/fused_train.py):
-        fused kernel enabled and every level is a sinusoidal+viewdirs MLP."""
+    def _fused_train_mode(self) -> Optional[str]:
+        """Which one-launch train kernel covers this config:
+
+        * "sinusoidal" — kernels/fused_train.py (encode+MLP+composite+loss
+          grad+backward; D=8/W=256-class sinusoidal presets);
+        * "feats" — kernels/fused_feat_train.py (small MLP over precomputed
+          hash/CP features + SH dirs, emitting dL/dfeats for the encoding's
+          own backward);
+        * None — unfused XLA path.
+        """
         cfg = self.cfg
         if not (cfg.use_fused_kernel and cfg.use_fused_train):
-            return False
-        if not self._use_fused(cfg.mlp):
-            return False
-        if cfg.render.n_importance > 0 and not self._use_fused(
-            cfg.mlp_fine or cfg.mlp
+            return None
+        n_total = cfg.render.n_samples + cfg.render.n_importance
+        fine_mlp = cfg.mlp_fine or cfg.mlp
+        if self._use_fused(cfg.mlp) and (
+            cfg.render.n_importance == 0 or self._use_fused(fine_mlp)
         ):
-            return False
-        from nerf_meets_mlx_tpu.kernels.fused_train import max_fused_samples
+            from nerf_meets_mlx_tpu.kernels.fused_train import max_fused_samples
 
-        # VMEM guard: the in-kernel [RBS, RBS] compositing-scan matrix grows
-        # as n_samples^2 once rays_block clamps to 1; past the bound the
-        # program falls back to the unfused XLA path instead of failing at
-        # compile time with a VMEM-OOM.
-        if cfg.render.n_samples + cfg.render.n_importance > max_fused_samples():
-            return False
-        return True
+            # VMEM guard: the in-kernel [RBS, RBS] compositing-scan matrix
+            # grows as n_samples^2 once rays_block clamps to 1; past the
+            # bound the program falls back to the unfused XLA path instead
+            # of failing at compile time with a VMEM-OOM.
+            if n_total <= max_fused_samples():
+                return "sinusoidal"
+            return None
+        if (
+            cfg.pos_encoding.kind in ("hash_grid", "cp_grid")
+            and cfg.dir_encoding is not None
+            and cfg.dir_encoding.kind == "spherical_harmonics"
+            and cfg.mlp.use_viewdirs
+            and fine_mlp.use_viewdirs
+            and n_total <= 2048
+        ):
+            return "feats"
+        return None
+
+    @property
+    def supports_fused_train(self) -> bool:
+        """True when training can run through a one-launch
+        forward+composite+loss-grad+backward kernel (see _fused_train_mode)."""
+        return self._fused_train_mode is not None
 
     def render_rays_train(
         self,
@@ -367,14 +388,9 @@ class NeRFModel:
         stop-gradient, matching the reference's detached sampler
         (@torch.no_grad, sampling/__init__.py:101).
         """
-        from nerf_meets_mlx_tpu.kernels.fused_mlp import FusedMLPSpec, pack_params
-        from nerf_meets_mlx_tpu.kernels.fused_train import (
-            TrainSpec,
-            default_rays_block,
-            fused_train_apply,
-            pack_inputs_train,
-        )
+        from nerf_meets_mlx_tpu.kernels.fused_train import TrainSpec
 
+        mode = self._fused_train_mode
         rcfg = self.cfg.render
         B = rays_o.shape[0]
         if viewdirs is None:
@@ -386,11 +402,9 @@ class NeRFModel:
         )
         dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)  # [B, 1]
 
-        def build_x(z, k_noise):
+        def deltas_noise(z, k_noise):
             # per-point delta (1e10 terminal, scaled by ||rays_d|| —
-            # render.py:46-59) and pre-scaled density noise ride in the two
-            # spare input columns
-            pts = rays_o[..., None, :] + z[..., :, None] * rays_d[..., None, :]
+            # render.py:46-59) and pre-scaled density noise
             deltas = jnp.concatenate(
                 [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1
             ) * dnorm
@@ -401,28 +415,81 @@ class NeRFModel:
                 )
             else:
                 noise = jnp.zeros_like(z)
-            return pack_inputs_train(pts, viewdirs, deltas, noise)
+            return deltas, noise
 
-        def tspec_for(n_samples: int) -> TrainSpec:
+        def tspec_for(n_samples: int, rays_block: int) -> TrainSpec:
             return TrainSpec(
                 n_samples=n_samples,
-                rays_block=default_rays_block(n_samples),
+                rays_block=rays_block,
                 n_rays=B,
                 mode=rcfg.compositing,
                 density_activation=rcfg.density_activation,
                 white_bkgd=rcfg.white_bkgd,
             )
 
-        spec_c = FusedMLPSpec.from_configs(
-            self.cfg.mlp, self.cfg.pos_encoding, self.cfg.dir_encoding,
-            compute_dx=False,
-        )
-        sse_c, rgb_c, weights = fused_train_apply(
-            spec_c,
-            tspec_for(rcfg.n_samples),
-            pack_params(spec_c, params["coarse"]),
-            build_x(z_vals, k_noise_c),
-            target,
+        if mode == "sinusoidal":
+            from nerf_meets_mlx_tpu.kernels.fused_mlp import (
+                FusedMLPSpec,
+                pack_params,
+            )
+            from nerf_meets_mlx_tpu.kernels.fused_train import (
+                default_rays_block,
+                fused_train_apply,
+                pack_inputs_train,
+            )
+
+            def run_level(level, z, k_noise, n_samples):
+                mlp_cfg = self.cfg.mlp if level == "coarse" else (
+                    self.cfg.mlp_fine or self.cfg.mlp
+                )
+                spec = FusedMLPSpec.from_configs(
+                    mlp_cfg, self.cfg.pos_encoding, self.cfg.dir_encoding,
+                    compute_dx=False,
+                )
+                pts = rays_o[..., None, :] + z[..., :, None] * rays_d[..., None, :]
+                deltas, noise = deltas_noise(z, k_noise)
+                x = pack_inputs_train(pts, viewdirs, deltas, noise)
+                return fused_train_apply(
+                    spec,
+                    tspec_for(n_samples, default_rays_block(n_samples)),
+                    pack_params(spec, params[level]),
+                    x,
+                    target,
+                )
+        else:  # "feats": hash/CP features + SH dirs + small MLP
+            from nerf_meets_mlx_tpu.kernels.fused_feat_train import (
+                FeatMLPSpec,
+                feat_rays_block,
+                fused_feat_train_apply,
+                pack_feat_inputs,
+                pack_feat_params,
+            )
+
+            sh = self.dir_enc.apply(params["dir_enc"], viewdirs)  # [B, d_dim]
+
+            def run_level(level, z, k_noise, n_samples):
+                mlp_cfg = self.cfg.mlp if level == "coarse" else (
+                    self.cfg.mlp_fine or self.cfg.mlp
+                )
+                spec = FeatMLPSpec.from_configs(
+                    mlp_cfg, self.pos_enc.out_dim, self.dir_enc.out_dim
+                )
+                pts = rays_o[..., None, :] + z[..., :, None] * rays_d[..., None, :]
+                # differentiable encode (Pallas hash kernel or XLA CP path);
+                # the train kernel's dfeats cotangent chains into its VJP
+                feats = self._encode_pos(params, pts)  # [B, S, P]
+                deltas, noise = deltas_noise(z, k_noise)
+                x = pack_feat_inputs(feats, sh, deltas, noise)
+                return fused_feat_train_apply(
+                    spec,
+                    tspec_for(n_samples, feat_rays_block(n_samples)),
+                    pack_feat_params(spec, params[level]),
+                    x,
+                    target,
+                )
+
+        sse_c, rgb_c, weights = run_level(
+            "coarse", z_vals, k_noise_c, rcfg.n_samples
         )
         rgb_c = jax.lax.stop_gradient(rgb_c)
         weights = jax.lax.stop_gradient(weights)
@@ -440,18 +507,8 @@ class NeRFModel:
             )
             z_all = merge_z(z_vals, z_imp)
             level = "fine" if "fine" in params else "coarse"
-            spec_f = FusedMLPSpec.from_configs(
-                self.cfg.mlp_fine or self.cfg.mlp,
-                self.cfg.pos_encoding,
-                self.cfg.dir_encoding,
-                compute_dx=False,
-            )
-            sse_f, rgb_f, _ = fused_train_apply(
-                spec_f,
-                tspec_for(rcfg.n_samples + rcfg.n_importance),
-                pack_params(spec_f, params[level]),
-                build_x(z_all, k_noise_f),
-                target,
+            sse_f, rgb_f, _ = run_level(
+                level, z_all, k_noise_f, rcfg.n_samples + rcfg.n_importance
             )
             ret.update(sse_fine=sse_f, rgb_fine=jax.lax.stop_gradient(rgb_f))
 

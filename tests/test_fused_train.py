@@ -165,14 +165,18 @@ def test_train_step_fused_vs_standard():
 
 
 def test_fused_train_gate():
-    """supports_fused_train is off for non-sinusoidal encodings and when
-    the flags are off."""
+    """supports_fused_train routes sinusoidal presets to the big kernel,
+    hash presets to the feats kernel, and honors the flags."""
     cfg = lego_hierarchical().replace(use_fused_kernel=True, use_fused_train=True)
-    assert create_nerf(cfg).supports_fused_train
+    model = create_nerf(cfg)
+    assert model.supports_fused_train and model._fused_train_mode == "sinusoidal"
     assert not create_nerf(cfg.replace(use_fused_train=False)).supports_fused_train
     assert not create_nerf(cfg.replace(use_fused_kernel=False)).supports_fused_train
     from nerf_meets_mlx_tpu.config import lego_ingp
 
-    assert not create_nerf(
-        lego_ingp().replace(use_fused_kernel=True)
-    ).supports_fused_train
+    # hash+SH presets now route to the feat-train kernel
+    # (kernels/fused_feat_train.py)
+    assert (
+        create_nerf(lego_ingp().replace(use_fused_kernel=True))._fused_train_mode
+        == "feats"
+    )

@@ -136,3 +136,54 @@ def test_pack_tables_roundtrip_values():
     for h in (0, 1, 127, 128, 200, 255):
         for f in range(2):
             assert float(g[1, h // 128, f * 128 + h % 128]) == float(t[1, h, f])
+
+
+def test_bfloat16_compute_dtype_parity():
+    """bf16 GEMM operands: feats/grads match the f32 XLA path to bf16
+    rounding (one-hot rows are exact in bf16; accumulation stays f32, so
+    the only error is rounding of table values and of ds products)."""
+    import dataclasses
+
+    enc = dataclasses.replace(make_enc(), compute_dtype="bfloat16")
+    params, x = rand_inputs(enc)
+    ref = enc.apply(params, x)
+    got = hash_encode_apply(enc, params, x, block=128)
+    # table values are ~init_scale=1e-4: per-corner bf16 rounding ~0.4%
+    # relative, so the 8-corner sum is within ~8*0.004*1e-4 absolute
+    # (relative error is unbounded where corners cancel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=5e-6)
+
+    def loss_k(p):
+        return jnp.sum(hash_encode_apply(enc, p, x, block=128) ** 2)
+
+    def loss_r(p):
+        return jnp.sum(enc.apply(p, x) ** 2)
+
+    gk = jax.grad(loss_k)(params)["tables"]
+    gr = jax.grad(loss_r)(params)["tables"]
+    scale = float(np.abs(np.asarray(gr)).max())
+    np.testing.assert_allclose(
+        np.asarray(gk), np.asarray(gr), rtol=0, atol=2e-2 * scale
+    )
+
+
+def test_config_hash_overrides_reach_kernel_spec():
+    """Text-overlay hash keys flow config -> encoding -> kernel spec."""
+    import dataclasses as dc
+    from nerf_meets_mlx_tpu.config import config_from_text, lego_ingp
+    from nerf_meets_mlx_tpu.models import create_nerf
+    import tempfile, pathlib
+
+    with tempfile.TemporaryDirectory() as d:
+        f = pathlib.Path(d) / "o.txt"
+        f.write_text(
+            "hash_log2_table_size = 14\nhash_compute_dtype = bfloat16\n"
+            "occupancy = True\naabb = -1,-1,-1,1,1,1\n"
+        )
+        cfg = config_from_text(f, base=lego_ingp())
+    assert cfg.pos_encoding.hash_log2_table_size == 14
+    assert cfg.pos_encoding.hash_compute_dtype == "bfloat16"
+    assert cfg.render.occupancy and cfg.render.aabb == (-1, -1, -1, 1, 1, 1)
+    model = create_nerf(cfg)
+    spec = HashEncodeSpec.from_encoding(model.pos_enc)
+    assert spec.log2_table_size == 14 and spec.compute_dtype == "bfloat16"

@@ -70,10 +70,19 @@ def run_one(tag, preset, max_iters, resolution, log_dir, synth_scene="hard",
     repo_results.mkdir(parents=True, exist_ok=True)
     row_out = dict(row, views=_views() or 20)
     for dest in (RESULTS, repo_results / "hard_battery.jsonl"):
+        # skip duplicate rows from no-op resume re-runs (wall_s always
+        # differs a little, so compare everything but it)
+        def _key(r):
+            return {k: v for k, v in r.items() if k != "wall_s"}
+
+        if dest.exists():
+            lines = [l for l in dest.read_text().splitlines() if l.strip()]
+            if any(_key(json.loads(l)) == _key(row_out) for l in lines):
+                continue
         with dest.open("a") as f:
             f.write(json.dumps(row_out) + "\n")
     print("[battery]", json.dumps(row_out), flush=True)
-    return row
+    return row_out
 
 
 def main():
