@@ -16,9 +16,23 @@ model does the heavy lifting:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
+
+# env vars whose presence means "a multi-process run was CONFIGURED":
+# jax.distributed reads these when initialize() gets no explicit args
+_COORD_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "JAX_NUM_PROCESSES",
+    "JAX_PROCESS_ID",
+)
+
+
+def _multiprocess_configured() -> bool:
+    return any(os.environ.get(v) for v in _COORD_ENV_VARS)
 
 
 def init_distributed(
@@ -28,11 +42,22 @@ def init_distributed(
 ) -> None:
     """Initialize multi-host JAX. No-op when running single-process or when
     already initialized. On TPU pods with standard env (GCE metadata /
-    megascale env vars) all args auto-discover."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    megascale env vars) all args auto-discover.
+
+    Failure policy: if a multi-process run IS configured (explicit args or
+    coordinator env vars) and initialization fails, this RAISES — degrading
+    silently would leave N hosts each believing it is process 0, training N
+    independent models into the same log/checkpoint dir. The silent
+    fallback only covers the genuinely-unconfigured single-process case.
+    """
+    # NB: must not call jax.process_count()/jax.devices() here — touching
+    # the backend initializes it, after which jax.distributed.initialize
+    # refuses to run ("must be called before any JAX computations")
+    if jax.distributed.is_initialized():
+        return
+    explicit = coordinator_address is not None or num_processes is not None
     try:
-        if coordinator_address is None and num_processes is None:
+        if not explicit:
             jax.distributed.initialize()
         else:
             jax.distributed.initialize(
@@ -40,9 +65,14 @@ def init_distributed(
                 num_processes=num_processes,
                 process_id=process_id,
             )
-    except (ValueError, RuntimeError):
-        # single-process run (no coordinator configured) — fine
-        pass
+    except (ValueError, RuntimeError) as e:
+        if explicit or _multiprocess_configured():
+            raise RuntimeError(
+                "jax.distributed.initialize failed although a multi-process "
+                "run is configured (explicit args or coordinator env vars); "
+                "refusing to continue single-process"
+            ) from e
+        # no multi-process configuration anywhere — single-process run
 
 
 def is_main_process() -> bool:
