@@ -20,6 +20,7 @@ import dataclasses
 import json
 import time
 from pathlib import Path
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +95,103 @@ def bench_train_step(
     return n_rand * n_calls * n_inner / dt
 
 
+def model_flops_per_step(cfg) -> Optional[float]:
+    """Analytic MODEL FLOPs of one train step (fwd + backward ~= 3x fwd),
+    counting the MLP GEMM math at logical dims for both levels over the
+    n_rand ray batch. Returns None for learned-table encodings (hash/CP):
+    their lookups are memory ops, not model FLOPs — an "MFU" there would
+    be structurally near-zero and misleading."""
+    from nerf_meets_mlx_tpu.models import create_nerf
+
+    if cfg.pos_encoding.kind != "sinusoidal":
+        return None
+    model = create_nerf(cfg)
+    in_dim = model.pos_enc.out_dim
+    dir_dim = model.dir_enc.out_dim if model.dir_enc is not None else 0
+
+    def point_macs(mlp):
+        W, D = mlp.net_width, mlp.net_depth
+        macs = in_dim * W
+        for j in range(1, D):
+            macs += W * W + (in_dim * W if (j - 1) in mlp.skips else 0)
+        if mlp.use_viewdirs:
+            macs += W * 1 + W * W + (W + dir_dim) * (W // 2) + (W // 2) * 3
+        else:
+            macs += W * mlp.out_channels
+        return macs
+
+    rcfg = cfg.render
+    B = cfg.train.n_rand
+    pts_c = B * rcfg.n_samples
+    pts_f = B * (rcfg.n_samples + rcfg.n_importance) if rcfg.n_importance else 0
+    fine_mlp = cfg.mlp_fine or cfg.mlp
+    fwd = pts_c * point_macs(cfg.mlp) + pts_f * point_macs(fine_mlp)
+    return 3.0 * 2.0 * fwd  # fwd + bwd(2x), MACs -> FLOPs
+
+
+# measured GEMM rate of this chip (f32 == bf16, tools_dev/mxu_probe.py;
+# docs/DESIGN.md "Round 2") — the denominator for MFU
+MEASURED_PEAK_FLOPS = 147e12
+
+
+def bench_phases(preset: str, n_rand: int = 4096) -> Optional[dict]:
+    """Per-level kernel times at the bench shapes: one fused-train launch
+    for the coarse and fine levels with synthetic inputs. Only for the
+    sinusoidal fused path (the flagship workload)."""
+    from nerf_meets_mlx_tpu.config import PRESETS
+    from nerf_meets_mlx_tpu.kernels.fused_mlp import FusedMLPSpec, pack_params
+    from nerf_meets_mlx_tpu.kernels.fused_train import (
+        TrainSpec, default_rays_block, fused_train_apply, pack_inputs_train,
+    )
+    from nerf_meets_mlx_tpu.models import create_nerf
+
+    cfg = PRESETS[preset]()
+    if cfg.pos_encoding.kind != "sinusoidal" or jax.default_backend() != "tpu":
+        return None
+    model = create_nerf(cfg.replace(use_fused_kernel=True))
+    params = model.init(jax.random.PRNGKey(0))
+    spec = FusedMLPSpec.from_configs(
+        cfg.mlp, cfg.pos_encoding, cfg.dir_encoding, compute_dx=False
+    )
+    rng = np.random.default_rng(0)
+    out = {}
+    levels = [("coarse_ms", cfg.render.n_samples, "coarse")]
+    if cfg.render.n_importance:
+        levels.append(
+            ("fine_ms", cfg.render.n_samples + cfg.render.n_importance,
+             "fine" if cfg.mlp_fine is not None else "coarse")
+        )
+    for name, S, level in levels:
+        pts = jnp.asarray(rng.normal(size=(n_rand, S, 3)), jnp.float32)
+        dirs = jnp.asarray(rng.normal(size=(n_rand, 3)), jnp.float32)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        deltas = jnp.asarray(rng.uniform(0.01, 0.1, size=(n_rand, S)), jnp.float32)
+        target = jnp.asarray(rng.uniform(size=(n_rand, 3)), jnp.float32)
+        x = pack_inputs_train(pts, dirs, deltas, jnp.zeros((n_rand, S), jnp.float32))
+        tspec = TrainSpec(
+            n_samples=S, rays_block=default_rays_block(S), n_rays=n_rand,
+            mode=cfg.render.compositing,
+            density_activation=cfg.render.density_activation,
+            white_bkgd=cfg.render.white_bkgd,
+        )
+        packed = pack_params(spec, params[level])
+
+        def f(packed, x):
+            sse, _, _ = fused_train_apply(spec, tspec, packed, x, target)
+            return sse
+
+        jf = jax.jit(f)
+        for _ in range(3):
+            r = jf(packed, x)
+        float(r)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            r = jf(packed, x)
+        float(r)
+        out[name] = round((time.perf_counter() - t0) / 20 * 1000, 2)
+    return out
+
+
 def bench_scaling(n_devices: int = 0, rays_per_device: int = 4096, n_iters: int = 30):
     """Weak-scaling efficiency: sharded step at 1 device vs N devices with
     rays_per_device held constant (BASELINE.md scaling metric). Intended for
@@ -151,11 +249,15 @@ def bench_scaling(n_devices: int = 0, rays_per_device: int = 4096, n_iters: int 
     rps1, t1 = measure(1)
     rpsN, tN = measure(n_devices)
     efficiency = t1 / tN  # weak scaling: perfect => same step time
+    on_tpu = jax.default_backend() == "tpu"
     line = {
         "metric": "weak_scaling_efficiency",
-        "value": round(efficiency, 4),
+        # off-TPU the N "devices" are one host's cores time-sliced: the
+        # ratio is noise, and publishing it as `value` invites a consumer
+        # to read it as a measurement — null means "ran, not meaningful"
+        "value": round(efficiency, 4) if on_tpu else None,
         "unit": f"T1/T{n_devices} (rays/device={rays_per_device})",
-        "vs_baseline": round(rpsN / max(rps1, 1e-9) / n_devices, 4),
+        "vs_baseline": round(rpsN / max(rps1, 1e-9) / n_devices, 4) if on_tpu else None,
     }
     # durable artifact for the scaling row (BASELINE.md: >=90% 1 host -> N)
     artifact = {
@@ -182,11 +284,40 @@ def bench_scaling(n_devices: int = 0, rays_per_device: int = 4096, n_iters: int 
     print(json.dumps(line))
 
 
+def bench_sweep(preset: str = "lego_hierarchical"):
+    """Single-chip weak-scaling sweep: rays/s vs per-device batch size —
+    the curve that determines where per-chip batch sizes land on a pod
+    (BASELINE.md's >=90% target needs the knee to sit left of the chosen
+    n_rand/device). Writes SWEEP.json and prints one JSON line."""
+    points = []
+    for n_rand in (1024, 2048, 4096, 8192, 16384, 32768):
+        rps = bench_train_step(n_warmup=3, n_iters=20, n_rand=n_rand, preset=preset)
+        points.append({"n_rand": n_rand, "rays_per_sec": round(rps, 1)})
+        print(f"# n_rand={n_rand}: {rps:,.0f} rays/s", flush=True)
+    artifact = {
+        "metric": "weak_scaling_sweep",
+        "preset": preset,
+        "backend": jax.default_backend(),
+        "points": points,
+    }
+    (Path(__file__).parent / "SWEEP.json").write_text(json.dumps(artifact, indent=1))
+    best = max(points, key=lambda p: p["rays_per_sec"])
+    print(json.dumps({
+        "metric": "sweep_best_rays_per_sec",
+        "value": best["rays_per_sec"],
+        "unit": f"rays/s @ n_rand={best['n_rand']}",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     import sys
 
     if "--scaling" in sys.argv:
         bench_scaling()
+        return
+    if "--sweep" in sys.argv:
+        bench_sweep()
         return
     preset = "lego_hierarchical"
     if "--preset" in sys.argv:  # e.g. --preset lego_occ: accelerated configs
@@ -208,18 +339,28 @@ def main():
         if preset == "lego_hierarchical"
         else f"train_rays_per_sec[{preset}]"
     )
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(rays_per_sec, 1),
-                # vs_baseline is always against the same unfused-XLA
-                # reference-workload baseline (bench_baseline.json)
-                "vs_baseline": round(rays_per_sec / baseline, 3),
-                "unit": "rays/s",
-            }
-        )
-    )
+    line = {
+        "metric": metric,
+        "value": round(rays_per_sec, 1),
+        # vs_baseline is always against the same unfused-XLA
+        # reference-workload baseline (bench_baseline.json)
+        "vs_baseline": round(rays_per_sec / baseline, 3),
+        "unit": "rays/s",
+    }
+    # speed-of-light accounting (BASELINE.md): model FLOPs / measured
+    # chip GEMM rate, plus the per-level kernel-time breakdown
+    from nerf_meets_mlx_tpu.config import PRESETS
+
+    step_ms = 4096 / rays_per_sec * 1000
+    line["step_ms"] = round(step_ms, 2)
+    flops = model_flops_per_step(PRESETS[preset]())
+    if flops is not None:
+        line["mfu"] = round(flops / (step_ms / 1000) / MEASURED_PEAK_FLOPS, 4)
+    phases = bench_phases(preset)
+    if phases is not None:
+        other = step_ms - sum(phases.values())
+        line["phases"] = {**phases, "other_ms": round(other, 2)}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -52,7 +52,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nerf_meets_mlx_tpu.config import MLPConfig
 from nerf_meets_mlx_tpu.kernels.fused_mlp import _interpret
-from nerf_meets_mlx_tpu.kernels.fused_train import TrainSpec, _alpha_terms
+from nerf_meets_mlx_tpu.kernels.fused_train import (
+    TrainSpec,
+    _alpha_terms,
+    selector_mats,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -271,25 +275,6 @@ def _feat_backprop(spec: FeatMLPSpec, ws, P, Dn, residuals, draw_rgb, dalpha):
     dP0 = mmbT(dh, ws[i_W0])
     dP = dP0 if dP is None else dP + dP0
     return grads, dP
-
-
-# ---------------------------------------------------------------------------
-# Selector matrices (host-side constants per (rays_block, n_samples))
-# ---------------------------------------------------------------------------
-
-
-def selector_mats(tspec: TrainSpec):
-    """(CS [RBS, RBS], U [RB, RBS], U_first [RB, RBS]) as numpy f32 —
-    grid-invariant kernel inputs (see module docstring)."""
-    RB, S = tspec.rays_block, tspec.n_samples
-    RBS = RB * S
-    k = np.arange(RBS)
-    ray = k // S
-    CS = ((ray[:, None] == ray[None, :]) & (k[None, :] < k[:, None])).astype(np.float32)
-    r = np.arange(RB)
-    U = (r[:, None] == ray[None, :]).astype(np.float32)
-    U_first = ((r[:, None] * S) == k[None, :]).astype(np.float32)
-    return CS, U, U_first
 
 
 # ---------------------------------------------------------------------------

@@ -54,6 +54,7 @@ from typing import List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -160,12 +161,36 @@ def _alpha_terms(tspec: TrainSpec, raw_sigma, delta):
 
 
 # ---------------------------------------------------------------------------
+# Selector matrices (host-side constants per (rays_block, n_samples))
+# ---------------------------------------------------------------------------
+
+
+def selector_mats(tspec: TrainSpec):
+    """(CS [RBS, RBS], U [RB, RBS], U_first [RB, RBS]) as numpy f32.
+
+    Grid-invariant kernel INPUTS (constant index maps keep them VMEM-
+    resident across the whole grid). v1 rebuilt them from iota compares on
+    every grid step; at the fine level (rays_block=2 -> 2048 grid steps per
+    4096-ray batch) those VPU compares rivalled the compositing GEMMs."""
+    RB, S = tspec.rays_block, tspec.n_samples
+    RBS = RB * S
+    k = np.arange(RBS)
+    ray = k // S
+    CS = ((ray[:, None] == ray[None, :]) & (k[None, :] < k[:, None])).astype(np.float32)
+    r = np.arange(RB)
+    U = (r[:, None] == ray[None, :]).astype(np.float32)
+    U_first = ((r[:, None] * S) == k[None, :]).astype(np.float32)
+    return CS, U, U_first
+
+
+# ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
 
 def _train_kernel(
-    spec: FusedMLPSpec, tspec: TrainSpec, x_ref, target_ref, *refs
+    spec: FusedMLPSpec, tspec: TrainSpec, x_ref, target_ref, cs_ref, u_ref,
+    uf_ref, *refs,
 ):
     n_w = _n_layer_arrays(spec)
     w_refs = refs[:n_w]
@@ -190,22 +215,7 @@ def _train_kernel(
             a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
         )
 
-    # ray-selector U[r, k] = 1 iff point k belongs to ray r (no int division:
-    # pure iota multiply/compare)
-    r_rows = jax.lax.broadcasted_iota(jnp.int32, (RB, RBS), 0)
-    k_cols = jax.lax.broadcasted_iota(jnp.int32, (RB, RBS), 1)
-    U = ((k_cols >= r_rows * S) & (k_cols < (r_rows + 1) * S)).astype(f32)
-
-    # per-point ray-start index via a tiny GEMM (exact small ints in f32;
-    # int32 iota + cast — Mosaic has no float iota lowering)
-    r_starts = jax.lax.broadcasted_iota(jnp.int32, (RB, 1), 0).astype(f32) * float(S)
-    start = mmTf(U, r_starts)                # [RBS, 1]
-
-    # block-diagonal strictly-lower scan matrix: CS[k, j] = 1 iff
-    # start_k <= j < k (same ray, earlier sample)
-    kk = jax.lax.broadcasted_iota(jnp.int32, (RBS, RBS), 0).astype(f32)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (RBS, RBS), 1).astype(f32)
-    CS = ((jj >= start) & (jj < kk)).astype(f32)
+    CS, U, U_first = cs_ref[:], u_ref[:], uf_ref[:]
 
     q, alpha, dalpha_dq, dq_to_draw = _alpha_terms(tspec, raw_sigma, delta)
     Texc = jnp.exp(-mmf(CS, q))              # exclusive within-ray prefix
@@ -226,7 +236,6 @@ def _train_kernel(
     # ---- loss (masked: padded rays contribute nothing) ----
     # per-ray target = the first sample's row of the point-major target
     # (exact — no division)
-    U_first = (k_cols == r_rows * S).astype(f32)
     target_ray = mmf(U_first, target_ref[:])  # [RB, 3]
     pid = pl.program_id(0)
     ridx = jax.lax.broadcasted_iota(jnp.int32, (RB, 1), 0) + pid * RB
@@ -290,6 +299,26 @@ def _train_pallas(
     # minimum; the replication costs ~10 MB of HBM reads per call)
     tp = jnp.broadcast_to(tp[:, None, :], (R_pad, S, 3)).reshape(R_pad * S, 3)
     grid = (R_pad // RB,)
+    CS, U, U_first = (jnp.asarray(m) for m in selector_mats(tspec))
+
+    # scoped-VMEM estimate: residual activations dominate (T, S, hs[depth],
+    # feat, hd), plus the CS matrix, the packed weights and dW accumulators;
+    # raise the compiler's ~16 MB default when a large rays_block needs it
+    # (physical VMEM is far larger)
+    n_res = 2 * spec.sw + spec.depth * spec.width + spec.width + spec.w2
+    est = 4 * (
+        2 * RBS * n_res
+        + RBS * RBS
+        + 2 * sum(int(np.prod(w.shape)) for w in packed)
+    )
+    compiler_params = None
+    if est > 12 * 1024 * 1024:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(est + 8 * 1024 * 1024, 110 * 1024 * 1024)
+        )
+
+    def const2(m):
+        return pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     w_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -306,6 +335,7 @@ def _train_pallas(
         in_specs=[
             pl.BlockSpec((RBS, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((RBS, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const2(CS), const2(U), const2(U_first),
             *w_specs,
         ],
         out_specs=[
@@ -320,8 +350,9 @@ def _train_pallas(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             *dw_shapes,
         ],
+        compiler_params=compiler_params,
         interpret=_interpret(),
-    )(xp, tp, *packed)
+    )(xp, tp, CS, U, U_first, *packed)
     # back to per-ray layout: rgb is replicated across a ray's points (take
     # the first); weights are point-major
     rgb = outs[0].reshape(R_pad, S, 3)[:R, 0]
