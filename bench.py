@@ -358,7 +358,9 @@ def main():
         line["mfu"] = round(flops / (step_ms / 1000) / MEASURED_PEAK_FLOPS, 4)
     phases = bench_phases(preset)
     if phases is not None:
-        other = step_ms - sum(phases.values())
+        # kernel times are measured in separate dispatch loops; measurement
+        # noise can push their sum past step_ms — clamp the remainder
+        other = max(0.0, step_ms - sum(phases.values()))
         line["phases"] = {**phases, "other_ms": round(other, 2)}
     print(json.dumps(line))
 

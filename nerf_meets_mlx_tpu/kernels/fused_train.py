@@ -80,7 +80,7 @@ class TrainSpec:
     white_bkgd: bool
 
 
-def max_fused_samples(target_points: int = 512) -> int:
+def max_fused_samples(target_points: int = 1024) -> int:
     """Largest per-ray sample count the kernel accepts. Past ~2x the block
     target, rays_block clamps to 1 and the [RBS, RBS] scan matrix + live
     activations grow as n_samples^2 with no way to shrink the block —
@@ -89,13 +89,15 @@ def max_fused_samples(target_points: int = 512) -> int:
     return 2 * target_points
 
 
-def default_rays_block(n_samples: int, target_points: int = 512) -> int:
+def default_rays_block(n_samples: int, target_points: int = 1024) -> int:
     """Rays per block such that rays_block * n_samples ≈ target_points.
 
     The block must keep all `depth` layer activations plus the dW
-    accumulators and the [RBS, RBS] scan matrix in VMEM; ~512 points
-    measured as the sweet spot for the backward-style recompute kernels
-    on v5e (fused_mlp.FusedMLPSpec.bwd_block rationale)."""
+    accumulators and the [RBS, RBS] scan matrix in VMEM (the wrapper
+    raises the compiler's scoped-VMEM cap when the estimate needs it).
+    Swept on v5e (tools_dev/rays_block_sweep.py, r4): 1024-point blocks
+    beat 512 at both flagship levels (coarse 10.5 -> 9.9 ms, fine
+    30.1 -> 28.6 ms); 2048 regresses both."""
     if n_samples > max_fused_samples(target_points):
         raise ValueError(
             f"n_samples={n_samples} exceeds the fused-train kernel's VMEM "
