@@ -274,16 +274,29 @@ def train_nerf(
     if viewer is not None:
         viewer.close()
 
-    # final test-set PSNR
-    psnrs = []
+    # final test-set PSNR + SSIM (the reference carries metric classes but
+    # never invokes them — SURVEY §6; here every run reports both)
+    from nerf_meets_mlx_tpu.ops import ssim as ssim_fn
+
+    psnrs, ssims = [], []
     for i in ds.i_test:
         out = render_image(
             model, trainer.state.params, ds.H, ds.W, ds.K, ds.poses[i, :3, :4],
             occ_grid=trainer.state.occ_grid,
         )
-        psnrs.append(float(psnr_fn(out["rgb_map"], jnp.asarray(ds.images[i]))))
-    result = {**metrics, "test_psnr_mean": float(np.mean(psnrs))}
-    trainer.logger.log(step=trainer.step, **{"test_psnr_mean": result["test_psnr_mean"]})
+        gt = jnp.asarray(ds.images[i])
+        psnrs.append(float(psnr_fn(out["rgb_map"], gt)))
+        ssims.append(float(ssim_fn(out["rgb_map"], gt)))
+    result = {
+        **metrics,
+        "test_psnr_mean": float(np.mean(psnrs)),
+        "test_ssim_mean": float(np.mean(ssims)),
+    }
+    trainer.logger.log(
+        step=trainer.step,
+        test_psnr_mean=result["test_psnr_mean"],
+        test_ssim_mean=result["test_ssim_mean"],
+    )
 
     if render_video and is_main_process():
         frames = render_orbit(

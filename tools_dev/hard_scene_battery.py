@@ -61,6 +61,7 @@ def run_one(tag, preset, max_iters, resolution, log_dir, synth_scene="hard",
         "iters": max_iters,
         "resolution": resolution,
         "test_psnr_mean": round(float(metrics.get("test_psnr_mean", -1)), 2),
+        "test_ssim_mean": round(float(metrics.get("test_ssim_mean", -1)), 4),
         "train_psnr": round(float(metrics.get("psnr", -1)), 2),
         "wall_s": round(time.time() - t0, 1),
     }

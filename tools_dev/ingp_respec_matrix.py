@@ -88,6 +88,7 @@ def main():
             "resolution": 128,
             "views": 50,
             "test_psnr_mean": round(float(m.get("test_psnr_mean", -1)), 2),
+            "test_ssim_mean": round(float(m.get("test_ssim_mean", -1)), 4),
             "train_psnr": round(float(m.get("psnr", -1)), 2),
             "steps_per_sec_contended": round(sps, 2),
             "wall_s": round(time.time() - t0, 1),
