@@ -32,13 +32,16 @@ def make_bench_setup(
     fused: bool = True,
     preset: str = "lego_hierarchical",
     n_inner: int = 1,
+    config_txt: Optional[str] = None,
 ):
-    from nerf_meets_mlx_tpu.config import PRESETS
+    from nerf_meets_mlx_tpu.config import PRESETS, config_from_text
     from nerf_meets_mlx_tpu.engine.train_state import create_train_state
     from nerf_meets_mlx_tpu.engine.trainer import make_nerf_train_step
     from nerf_meets_mlx_tpu.models import create_nerf
 
     cfg = PRESETS[preset]()
+    if config_txt:
+        cfg = config_from_text(config_txt, base=cfg)
     cfg = cfg.replace(
         train=dataclasses.replace(cfg.train, n_rand=n_rand, precrop_iters=0),
         use_fused_kernel=(
@@ -71,13 +74,14 @@ def make_bench_setup(
 def bench_train_step(
     n_warmup: int = 5, n_iters: int = 50, n_rand: int = 4096,
     preset: str = "lego_hierarchical", n_inner: int = 1,
+    config_txt: Optional[str] = None,
 ) -> float:
     """Returns train rays/sec. With n_inner > 1 each dispatch advances
     n_inner optimizer steps via the trainer's lax.scan step batching
     (same training semantics; amortizes the tunnel's per-execution gap)."""
     n_inner = max(1, n_inner)  # --inner 0/negative would break the ceil-divs
     step, state, images, poses, n_rand = make_bench_setup(
-        n_rand, preset=preset, n_inner=n_inner
+        n_rand, preset=preset, n_inner=n_inner, config_txt=config_txt
     )
     key = jax.random.PRNGKey(0)
     n_warmup = -(-n_warmup // n_inner)
@@ -325,7 +329,12 @@ def main():
     n_inner = 1
     if "--inner" in sys.argv:  # lax.scan step batching (trainer n_inner)
         n_inner = int(sys.argv[sys.argv.index("--inner") + 1])
-    rays_per_sec = bench_train_step(preset=preset, n_inner=n_inner)
+    config_txt = None
+    if "--config-txt" in sys.argv:  # key=value overlay (variant benching)
+        config_txt = sys.argv[sys.argv.index("--config-txt") + 1]
+    rays_per_sec = bench_train_step(
+        preset=preset, n_inner=n_inner, config_txt=config_txt
+    )
 
     baseline_path = Path(__file__).parent / "bench_baseline.json"
     if baseline_path.exists():

@@ -533,15 +533,16 @@ def lego_full() -> ExperimentConfig:
 def lego_ingp() -> ExperimentConfig:
     """Config 5: Instant-NGP hash-encoding variant, 5k-iter fast run.
 
-    Sized for the XLA-gather hash path (TPU random-access gathers are the
-    bottleneck — docs/DESIGN.md "Hash-grid on TPU"): 8 levels, 2^15 tables,
-    48+48 samples. Quality on bounded synthetic scenes is unaffected; raise
-    hash_n_levels/log2 when the custom gather kernel lands."""
+    Sized from the r4 re-spec matrix (docs/results/ingp_respec.jsonl,
+    hard scene, 5k iters, 50 views): T = 2^14 measured quality-IDENTICAL
+    to 2^15 on this workload (26.33 vs 26.32 dB) at lower encode cost —
+    the one-hot-GEMM kernel's table scan is 2*T*F FLOPs per lookup, so
+    table size is a direct speed lever. 8 levels, 48+48 samples."""
     cfg = _nerf_base(n_samples=48, n_importance=48)
     return cfg.replace(
         pos_encoding=EncodingConfig(
             kind="hash_grid", in_dim=3, hash_n_levels=8, hash_max_res=256,
-            hash_log2_table_size=15,
+            hash_log2_table_size=14,
         ),
         dir_encoding=EncodingConfig(kind="spherical_harmonics", in_dim=3, sh_degree=4),
         mlp=MLPConfig(net_depth=2, net_width=64, skips=(), use_viewdirs=True),
@@ -551,6 +552,22 @@ def lego_ingp() -> ExperimentConfig:
             # the 2^15 x 8 x 2 tables memorize sparse view sets without
             # decay (hard scene, 20 views: train 28.7 / test 15.3 dB)
             encoding_weight_decay=1e-4,
+        ),
+    )
+
+
+def lego_ingp_occ() -> ExperimentConfig:
+    """lego_ingp plus the learned occupancy grid at a 32+32 sample budget —
+    the INGP paper's own recipe (hash encoding + occupancy culling). The r4
+    re-spec matrix measured 26.22 dB vs lego_ingp's 26.33 on the hard
+    scene (5k iters, 50 views) while marching ~35% fewer points; this is
+    the throughput-leaning hash preset (docs/results/ingp_respec.jsonl,
+    tag t14_bf16_occ32)."""
+    cfg = lego_ingp()
+    return cfg.replace(
+        render=dataclasses.replace(
+            cfg.render, n_samples=32, n_importance=32, occupancy=True,
+            aabb=(-1.5, -1.5, -1.5, 1.5, 1.5, 1.5),
         ),
     )
 
@@ -583,6 +600,7 @@ PRESETS = {
     "lego_occ": lego_occ,
     "lego_full": lego_full,
     "lego_ingp": lego_ingp,
+    "lego_ingp_occ": lego_ingp_occ,
     "lego_cp": lego_cp,
     "llff": llff,
     "deepvoxels": deepvoxels,

@@ -95,6 +95,12 @@ class HashEncodeSpec:
     # preferred_element_type, so the only error is bf16 rounding of the
     # table values themselves — the precision regime INGP/tcnn train in)
     compute_dtype: str = "float32"
+    # levels unrolled INSIDE the kernel body (grid over point blocks only):
+    # streams x once instead of L times, writes one [block, L*F] output
+    # tile instead of L narrow [block, F] tiles, and drops L-1 of the
+    # per-grid-step pipeline fixed costs — the r4 ablation measured ~17 ms
+    # of the 42 ms forward as pure per-step IO/pipeline overhead
+    levels_in_body: bool = True
 
     @staticmethod
     def from_encoding(
@@ -253,16 +259,32 @@ def _fwd_grid_kernel(spec: HashEncodeSpec, res_ref, x_ref, g_ref, out_ref):
 
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, spec.hi), 1)
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, LANE), 1)
-    a = (hi_iota == hi_all).astype(cdt)  # [8n, HI] (one-hot: exact in bf16)
+    # The kernel is VPU-throughput-bound on these mask builds/mults (time
+    # is invariant to T, block size and dtype — DESIGN.md round 4), so the
+    # formulation minimizes elementwise ops per corner row:
+    # * the trilinear weight folds INTO the one-hot (one [8n, HI] mult)
+    #   so the GEMM emits pre-weighted rows,
+    # * the lane mask is built once per 128 lanes and tiled across the F
+    #   feature planes (copy, not compare),
+    # * the plane reduction is an MXU contraction against the constant
+    #   plane indicator P (cross-lane jnp.sum is log-step VPU shuffles).
+    # In bf16 mode EVERY [8n, *] intermediate stays bf16 — the kernel is
+    # VMEM-traffic-bound on these materialized intermediates (time is
+    # invariant to T/block/op-count, DESIGN.md round 4), and the one-hot
+    # GEMM is a row SELECTION (single nonzero per row): r is exact at the
+    # bf16-rounded table's own precision, so only the final P contraction
+    # accumulates (in f32 via preferred_element_type).
+    aw = (hi_iota == hi_all).astype(cdt) * w_all.astype(cdt)  # [8n, HI]
     r = jnp.dot(
-        a, g_ref[0].astype(cdt), preferred_element_type=jnp.float32
-    )  # [8n, F*128]
-    sel = (lo_iota == lo_all).astype(jnp.float32)  # [8n, 128]
-    for f in range(F):
-        plane = r[:, f * LANE : (f + 1) * LANE]
-        v_raw = jnp.sum(plane * sel, axis=1, keepdims=True)  # [8n, 1]
-        vw = (v_raw * w_all).reshape(8, n, 1)
-        out_ref[0, :, f : f + 1] = jnp.sum(vw, axis=0)
+        aw, g_ref[0].astype(cdt), preferred_element_type=jnp.float32
+    ).astype(cdt)  # Mosaic requires 32-bit matmul acc; bf16 materialization
+    sel = (lo_iota == lo_all).astype(cdt)                  # [8n, 128]
+    selF = jnp.concatenate([sel] * F, axis=1)              # [8n, F*128]
+    plane_of = jax.lax.broadcasted_iota(jnp.int32, (F * LANE, F), 0) // LANE
+    f_col = jax.lax.broadcasted_iota(jnp.int32, (F * LANE, F), 1)
+    P = (plane_of == f_col).astype(cdt)                    # [F*128, F]
+    v = jnp.dot(r * selF, P, preferred_element_type=jnp.float32)  # [8n, F]
+    out_ref[0] = jnp.sum(v.reshape(8, n, F), axis=0)
 
 
 def _bwd_grid_kernel(spec: HashEncodeSpec, res_ref, x_ref, d_ref, dg_ref):
@@ -279,16 +301,23 @@ def _bwd_grid_kernel(spec: HashEncodeSpec, res_ref, x_ref, d_ref, dg_ref):
 
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, spec.hi), 1)
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, LANE), 1)
-    a = (hi_iota == hi_all).astype(cdt)  # [8n, HI]
-    sel = (lo_iota == lo_all).astype(jnp.float32)  # [8n, 128]
-    planes = []
-    for f in range(F):
-        d8 = jnp.concatenate([d_ref[0, :, f : f + 1]] * 8, axis=0)  # [8n, 1]
-        planes.append(sel * (w_all * d8))
-    ds = jnp.concatenate(planes, axis=1)  # [8n, F*128]
-    # scatter-add into the tables = transposed contraction (a^T @ ds)
+    # mirrors the fwd's op-minimized formulation: the trilinear weight
+    # folds into the one-hot; the lane mask is built once and tiled; the
+    # per-plane cotangent replicates across lanes via a tiny constant GEMM
+    aw = (hi_iota == hi_all).astype(cdt) * w_all.astype(cdt)  # [8n, HI]
+    sel = (lo_iota == lo_all).astype(cdt)                  # [8n, 128]
+    selF = jnp.concatenate([sel] * F, axis=1)              # [8n, F*128]
+    plane_of = jax.lax.broadcasted_iota(jnp.int32, (F, F * LANE), 1) // LANE
+    f_row = jax.lax.broadcasted_iota(jnp.int32, (F, F * LANE), 0)
+    PT = (plane_of == f_row).astype(cdt)                   # [F, F*128]
+    d8 = jnp.concatenate([d_ref[0]] * 8, axis=0)           # [8n, F]
+    d8F = jnp.dot(
+        d8.astype(cdt), PT, preferred_element_type=jnp.float32
+    ).astype(cdt)
+    ds = selF * d8F  # [8n, F*128] (bf16 in bf16 mode — VMEM traffic)
+    # scatter-add into the tables = transposed contraction ((w·a)^T @ ds)
     dg_l = jax.lax.dot_general(
-        a, ds.astype(cdt), (((0,), (0,)), ((), ())),
+        aw, ds.astype(cdt), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [HI, F*128]
 
@@ -299,6 +328,96 @@ def _bwd_grid_kernel(spec: HashEncodeSpec, res_ref, x_ref, d_ref, dg_ref):
     @pl.when(jnp.logical_not(first))
     def _():
         dg_ref[0] = dg_ref[0] + dg_l
+
+
+def _plane_indicator(F: int, cdt):
+    """Constant [F*128, F] plane indicator for the select-reduce GEMM."""
+    plane_of = jax.lax.broadcasted_iota(jnp.int32, (F * LANE, F), 0) // LANE
+    f_col = jax.lax.broadcasted_iota(jnp.int32, (F * LANE, F), 1)
+    return (plane_of == f_col).astype(cdt)
+
+
+def _fwd_body_kernel(spec: HashEncodeSpec, x_ref, g_ref, out_ref):
+    """Levels-in-body forward: grid = (nblocks,), all tables resident,
+    out [block, L*F] written once per block."""
+    n = x_ref.shape[0]
+    F = spec.features_per_level
+    n8 = 8 * n
+    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
+
+    def body(a_ref, r_ref):
+        ux, uy, uz = _axes(spec, x_ref[:])
+        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, spec.hi), 1)
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, LANE), 1)
+        P = _plane_indicator(F, cdt)
+        feat_cols = []
+        for l in range(spec.n_levels):
+            ix, iy, iz, fx, fy, fz = _level_coords(spec, ux, uy, uz, l)
+            hi_all, lo_all, w_all = _stacked_corners(spec, ix, iy, iz, fx, fy, fz)
+            # trilinear weight folded into the one-hot: the GEMM emits
+            # pre-weighted rows (products exact — single nonzero per row)
+            a_ref[:] = (hi_iota == hi_all).astype(cdt) * w_all.astype(cdt)
+            r_ref[:] = jnp.dot(
+                a_ref[:], g_ref[l].astype(cdt), preferred_element_type=jnp.float32
+            ).astype(cdt)
+            sel = (lo_iota == lo_all).astype(cdt)
+            selF = jnp.concatenate([sel] * F, axis=1)
+            v = jnp.dot(r_ref[:] * selF, P, preferred_element_type=jnp.float32)
+            feat_cols.append(jnp.sum(v.reshape(8, n, F), axis=0))  # [n, F]
+        out_ref[:] = jnp.concatenate(feat_cols, axis=1)  # [n, L*F]
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((n8, spec.hi), cdt),
+        pltpu.VMEM((n8, F * LANE), cdt),
+    )
+
+
+def _bwd_body_kernel(spec: HashEncodeSpec, x_ref, d_ref, dg_ref):
+    """Levels-in-body backward: grid = (nblocks,), dout [block, L*F] read
+    once, dG accumulated per level across the sequential grid."""
+    n = x_ref.shape[0]
+    F = spec.features_per_level
+    n8 = 8 * n
+    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
+    first = pl.program_id(0) == 0
+
+    def body(a_ref, ds_ref):
+        ux, uy, uz = _axes(spec, x_ref[:])
+        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, spec.hi), 1)
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, LANE), 1)
+        plane_of = jax.lax.broadcasted_iota(jnp.int32, (F, F * LANE), 1) // LANE
+        f_row = jax.lax.broadcasted_iota(jnp.int32, (F, F * LANE), 0)
+        PT = (plane_of == f_row).astype(cdt)
+        for l in range(spec.n_levels):
+            ix, iy, iz, fx, fy, fz = _level_coords(spec, ux, uy, uz, l)
+            hi_all, lo_all, w_all = _stacked_corners(spec, ix, iy, iz, fx, fy, fz)
+            a_ref[:] = (hi_iota == hi_all).astype(cdt) * w_all.astype(cdt)
+            sel = (lo_iota == lo_all).astype(cdt)
+            selF = jnp.concatenate([sel] * F, axis=1)
+            d8 = jnp.concatenate([d_ref[:, l * F : (l + 1) * F]] * 8, axis=0)
+            d8F = jnp.dot(
+                d8.astype(cdt), PT, preferred_element_type=jnp.float32
+            ).astype(cdt)
+            ds_ref[:] = selF * d8F
+            dg_l = jax.lax.dot_general(
+                a_ref[:], ds_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [HI, F*128]
+
+            @pl.when(first)
+            def _(l=l, dg_l=dg_l):
+                dg_ref[l] = dg_l
+
+            @pl.when(jnp.logical_not(first))
+            def _(l=l, dg_l=dg_l):
+                dg_ref[l] = dg_ref[l] + dg_l
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((n8, spec.hi), cdt),
+        pltpu.VMEM((n8, F * LANE), cdt),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -463,12 +582,21 @@ def _hot_compiler_params(spec: HashEncodeSpec):
     """Raise the scoped-VMEM cap for blocks whose [8*block, HI] one-hot +
     [8*block, F*128] GEMM output exceed the default ~16 MB budget (the
     physical VMEM is far larger; the default is a compiler heuristic)."""
-    a_bytes = 8 * spec.block * spec.hi * (2 if spec.compute_dtype == "bfloat16" else 4)
-    r_bytes = 8 * spec.block * spec.features_per_level * LANE * 4
-    need = 2 * (a_bytes + r_bytes) + spec.hi * spec.features_per_level * LANE * 4
+    b = 2 if spec.compute_dtype == "bfloat16" else 4
+    a_bytes = 8 * spec.block * spec.hi * b
+    r_bytes = 8 * spec.block * spec.features_per_level * LANE * b
+    table_bytes = spec.hi * spec.features_per_level * LANE * 4
+    if spec.levels_in_body:
+        # all tables + dg accumulator resident, plus scratch a/r and the
+        # per-level stack temporaries (sel/selF/products)
+        need = (
+            2 * spec.n_levels * table_bytes + 4 * (a_bytes + r_bytes)
+        )
+    else:
+        need = 2 * (a_bytes + r_bytes) + table_bytes
     if need <= 12 * 1024 * 1024:
         return None
-    return pltpu.CompilerParams(vmem_limit_bytes=min(need + 8 * 1024 * 1024, 100 * 1024 * 1024))
+    return pltpu.CompilerParams(vmem_limit_bytes=min(need + 8 * 1024 * 1024, 110 * 1024 * 1024))
 
 
 def _fwd_pallas(spec: HashEncodeSpec, g: jnp.ndarray, x: jnp.ndarray):
@@ -478,8 +606,32 @@ def _fwd_pallas(spec: HashEncodeSpec, g: jnp.ndarray, x: jnp.ndarray):
     nblocks = xp.shape[0] // spec.block
 
     if not spec.compute_dx:
-        # hot path: one level per grid step; the level's table slice stays
-        # VMEM-resident across its whole point pass (index constant in i)
+        if spec.levels_in_body:
+            # hot path v2: grid over point blocks only; all tables
+            # resident; one wide [block, L*F] output write per block
+            out = pl.pallas_call(
+                functools.partial(_fwd_body_kernel, spec),
+                grid=(nblocks,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (spec.block, x.shape[1]), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (L, spec.hi, F * LANE), lambda i: (0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (spec.block, L * F), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((xp.shape[0], L * F), jnp.float32),
+                compiler_params=_hot_compiler_params(spec),
+                interpret=_interpret(),
+            )(xp, g)
+            return out[:n], None
+        # hot path v1: one level per grid step; the level's table slice
+        # stays VMEM-resident across its whole point pass
         out = pl.pallas_call(
             functools.partial(_fwd_grid_kernel, spec),
             grid=(L, nblocks),
@@ -534,6 +686,30 @@ def _bwd_pallas(spec: HashEncodeSpec, x: jnp.ndarray, vals, dout: jnp.ndarray):
     nblocks = xp.shape[0] // spec.block
 
     if not spec.compute_dx:
+        if spec.levels_in_body:
+            dp = jnp.pad(dout, ((0, xp.shape[0] - n), (0, 0)))  # [Npad, L*F]
+            dg = pl.pallas_call(
+                functools.partial(_bwd_body_kernel, spec),
+                grid=(nblocks,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (spec.block, x.shape[1]), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (spec.block, L * F), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (L, spec.hi, F * LANE), lambda i: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct(g_shape, jnp.float32),
+                compiler_params=_hot_compiler_params(spec),
+                interpret=_interpret(),
+            )(xp, dp)
+            return dg, jnp.zeros_like(x)
         # [N, L*F] -> [L, Npad, F]; zero-padded rows contribute nothing
         d3 = jnp.transpose(dout.reshape(n, L, F), (1, 0, 2))
         d3 = jnp.pad(d3, ((0, 0), (0, xp.shape[0] - n), (0, 0)))

@@ -100,6 +100,7 @@ def main():
     run_one("cp", "lego_cp", it2k, res, OUT / "cp2k")
     # BASELINE config-5: the INGP preset's 5k-iter convergence number
     run_one("ingp5k", "lego_ingp", it5k, res, OUT / "ingp5k")
+    run_one("ingp_occ5k", "lego_ingp_occ", it5k, res, OUT / "ingp_occ5k")
 
     # convergence curve at 64^2 via resume chaining (1.5k -> 5k -> 20k)
     curve_dir = OUT / "curve"

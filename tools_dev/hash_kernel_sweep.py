@@ -47,8 +47,10 @@ def main():
     import dataclasses
     for block in (512, 1024, 2048):
       for cdt in ("float32", "bfloat16"):
+       for body in (True, False):
         spec = dataclasses.replace(
-            HashEncodeSpec.from_encoding(enc, block=block), compute_dtype=cdt)
+            HashEncodeSpec.from_encoding(enc, block=block), compute_dtype=cdt,
+            levels_in_body=body)
         g = pack_tables(spec, params["pos_enc"]["tables"])
 
         f_fwd = jax.jit(lambda g, x, s=spec: hash_encode(s, g, x))
@@ -60,7 +62,7 @@ def main():
             return dg  # forward GEMM is dead code -> measures bwd alone
 
         t_bwd = timeit(jax.jit(bwd_only), g, pts)
-        print(f"[sweep] block={block} dtype={cdt}: fwd={t_fwd:.1f}ms bwd={t_bwd:.1f}ms",
+        print(f"[sweep] block={block} dtype={cdt} body={body}: fwd={t_fwd:.1f}ms bwd={t_bwd:.1f}ms",
               flush=True)
 
 

@@ -24,6 +24,9 @@ OUT.mkdir(parents=True, exist_ok=True)
 
 VARIANTS = {
     # tag -> extra `key = value` overlay lines
+    # control: preset defaults on the CURRENT (feat-fused) path — isolates
+    # bf16's quality effect from the r3 battery row's path-change noise
+    "t15_f32": [],
     "t15_bf16": ["hash_compute_dtype = bfloat16"],
     "t14_bf16": ["hash_compute_dtype = bfloat16", "hash_log2_table_size = 14"],
     "t13_bf16": ["hash_compute_dtype = bfloat16", "hash_log2_table_size = 13"],

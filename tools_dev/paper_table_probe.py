@@ -89,8 +89,11 @@ def main():
     print(f"[paper] XLA gather fwd (L=16, T=2^19): {t_gather:.0f}ms", flush=True)
 
     # 2. one-hot GEMM, small block (one-hot [8*64, 4096] bounds VMEM)
+    # levels_in_body=False: at T=2^19 only the per-level 4 MB table
+    # slice fits VMEM (all-resident would need 64 MB of tables)
     spec = dataclasses.replace(
-        HashEncodeSpec.from_encoding(enc, block=64), compute_dtype="bfloat16"
+        HashEncodeSpec.from_encoding(enc, block=64), compute_dtype="bfloat16",
+        levels_in_body=False,
     )
     g = pack_tables(spec, params["tables"])
     try:
