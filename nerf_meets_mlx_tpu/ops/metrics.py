@@ -72,6 +72,10 @@ def ssim(
         padding="VALID",
         feature_group_count=C,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # full f32 precision: TPU convs default to bf16 multiplies, whose
+        # error on conv(x^2) - mu^2 dwarfs c2 (~9e-4) and pushes SSIM past
+        # 1 (observed 1.62 on a real render before this was pinned)
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     mu_p, mu_g = conv(p), conv(g)

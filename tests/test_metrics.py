@@ -39,3 +39,17 @@ def test_ssim_decreases_with_noise():
 def test_ssim_grayscale_input():
     img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32))
     assert 0.99 < float(ssim(img, img)) <= 1.0 + 1e-6
+
+
+def test_ssim_never_exceeds_one():
+    """SSIM <= 1 for ANY inputs — a bf16-precision conv (the TPU default)
+    violated this on real renders (measured 1.62) until the conv precision
+    was pinned to HIGHEST."""
+    rng = np.random.default_rng(3)
+    base = jnp.asarray(rng.uniform(size=(96, 96, 3)), jnp.float32)
+    smooth = jnp.asarray(
+        np.cumsum(np.cumsum(rng.normal(size=(96, 96, 3)), 0), 1), jnp.float32
+    )
+    smooth = (smooth - smooth.min()) / (smooth.max() - smooth.min())
+    for a, b in ((base, base * 0.97), (smooth, jnp.clip(smooth + 0.02, 0, 1))):
+        assert float(ssim(a, b)) <= 1.0 + 1e-5
