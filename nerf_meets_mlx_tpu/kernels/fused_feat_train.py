@@ -413,6 +413,20 @@ def _feat_train_pallas(
     def const2(m):
         return pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
+    # scoped-VMEM estimate: the [RBS, RBS] scan matrix plus the MLP
+    # activations/selectors; raise the compiler cap when needed (observed
+    # 28 MB at the ingp coarse level vs a ~25 MB default limit)
+    n_act = spec.p_dim + spec.d_dim + 4 * spec.width + 2 * spec.w2 + 32
+    est = 4 * (
+        RBS * RBS + 2 * RB * RBS + 3 * RBS * n_act
+        + 2 * sum(int(np.prod(w.shape)) for w in packed)
+    )
+    compiler_params = None
+    if est > 12 * 1024 * 1024:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(est + 16 * 1024 * 1024, 110 * 1024 * 1024)
+        )
+
     outs = pl.pallas_call(
         functools.partial(_feat_train_kernel, spec, tspec),
         grid=grid,
@@ -436,6 +450,7 @@ def _feat_train_pallas(
             jax.ShapeDtypeStruct((R_pad * S, spec.p_dim), jnp.float32),
             *dw_shapes,
         ],
+        compiler_params=compiler_params,
         interpret=_interpret(),
     )(xp, tp, CS, U, U_first, *packed)
     rgb = outs[0].reshape(R_pad, S, 3)[:R, 0]
