@@ -413,19 +413,20 @@ def _feat_train_pallas(
     def const2(m):
         return pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    # scoped-VMEM estimate: the [RBS, RBS] scan matrix plus the MLP
-    # activations/selectors; raise the compiler cap when needed (observed
-    # 28 MB at the ingp coarse level vs a ~25 MB default limit)
+    # scoped-VMEM cap: Mosaic stack-allocates every intermediate (selector
+    # products, backprop temps), which lands ~3x above a naive live-set
+    # estimate — 28 MB observed at the ingp coarse level against a ~25 MB
+    # default limit. Physical VMEM is far larger; raise the cap from the
+    # analytic lower bound with generous headroom.
     n_act = spec.p_dim + spec.d_dim + 4 * spec.width + 2 * spec.w2 + 32
     est = 4 * (
         RBS * RBS + 2 * RB * RBS + 3 * RBS * n_act
         + 2 * sum(int(np.prod(w.shape)) for w in packed)
     )
-    compiler_params = None
-    if est > 12 * 1024 * 1024:
-        compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=min(est + 16 * 1024 * 1024, 110 * 1024 * 1024)
-        )
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(max(3 * est + 24 * 1024 * 1024, 64 * 1024 * 1024),
+                                 110 * 1024 * 1024))
+    )
 
     outs = pl.pallas_call(
         functools.partial(_feat_train_kernel, spec, tspec),
