@@ -80,6 +80,15 @@ def run_one(tag, preset, max_iters, resolution, log_dir, synth_scene="hard",
             lines = [l for l in dest.read_text().splitlines() if l.strip()]
             if any(_key(json.loads(l)) == _key(row_out) for l in lines):
                 continue
+            # a call that trained nothing ("psnr" absent = pure resume
+            # no-op) must not OVERWRITE an existing measurement for the
+            # tag: in a resume chain the checkpoint may already be PAST
+            # this leg's labeled iteration (r4: a curve@5000 re-eval
+            # actually measured a ~12k-iter checkpoint)
+            if "psnr" not in metrics and any(
+                json.loads(l).get("tag") == row_out["tag"] for l in lines
+            ):
+                continue
         with dest.open("a") as f:
             f.write(json.dumps(row_out) + "\n")
     print("[battery]", json.dumps(row_out), flush=True)
