@@ -138,18 +138,18 @@ def model_flops_per_step(cfg) -> Optional[float]:
 MEASURED_PEAK_FLOPS = 147e12
 
 
-def bench_phases(preset: str, n_rand: int = 4096) -> Optional[dict]:
+def bench_phases(cfg, n_rand: int = 4096) -> Optional[dict]:
     """Per-level kernel times at the bench shapes: one fused-train launch
     for the coarse and fine levels with synthetic inputs. Only for the
-    sinusoidal fused path (the flagship workload)."""
-    from nerf_meets_mlx_tpu.config import PRESETS
+    sinusoidal fused path (the flagship workload). ``cfg`` is the SAME
+    (overlay-applied) config the throughput run used, so a --config-txt
+    variant can't pair its rays/s with the unmodified preset's phases."""
     from nerf_meets_mlx_tpu.kernels.fused_mlp import FusedMLPSpec, pack_params
     from nerf_meets_mlx_tpu.kernels.fused_train import (
         TrainSpec, default_rays_block, fused_train_apply, pack_inputs_train,
     )
     from nerf_meets_mlx_tpu.models import create_nerf
 
-    cfg = PRESETS[preset]()
     if cfg.pos_encoding.kind != "sinusoidal" or jax.default_backend() != "tpu":
         return None
     model = create_nerf(cfg.replace(use_fused_kernel=True))
@@ -317,15 +317,15 @@ def bench_sweep(preset: str = "lego_hierarchical"):
 def main():
     import sys
 
+    preset = "lego_hierarchical"
+    if "--preset" in sys.argv:  # e.g. --preset lego_occ: accelerated configs
+        preset = sys.argv[sys.argv.index("--preset") + 1]
     if "--scaling" in sys.argv:
         bench_scaling()
         return
     if "--sweep" in sys.argv:
-        bench_sweep()
+        bench_sweep(preset)
         return
-    preset = "lego_hierarchical"
-    if "--preset" in sys.argv:  # e.g. --preset lego_occ: accelerated configs
-        preset = sys.argv[sys.argv.index("--preset") + 1]
     n_inner = 1
     if "--inner" in sys.argv:  # lax.scan step batching (trainer n_inner)
         n_inner = int(sys.argv[sys.argv.index("--inner") + 1])
@@ -357,15 +357,28 @@ def main():
         "unit": "rays/s",
     }
     # speed-of-light accounting (BASELINE.md): model FLOPs / measured
-    # chip GEMM rate, plus the per-level kernel-time breakdown
-    from nerf_meets_mlx_tpu.config import PRESETS
+    # chip GEMM rate, plus the per-level kernel-time breakdown. Use the
+    # SAME overlay-applied config + n_rand the throughput run used.
+    from nerf_meets_mlx_tpu.config import PRESETS, config_from_text
 
-    step_ms = 4096 / rays_per_sec * 1000
+    bench_n_rand = 4096
+    cfg_used = PRESETS[preset]()
+    if config_txt:
+        cfg_used = config_from_text(config_txt, base=cfg_used)
+    cfg_used = cfg_used.replace(
+        train=dataclasses.replace(cfg_used.train, n_rand=bench_n_rand)
+    )
+    step_ms = bench_n_rand / rays_per_sec * 1000
     line["step_ms"] = round(step_ms, 2)
-    flops = model_flops_per_step(PRESETS[preset]())
+    flops = model_flops_per_step(cfg_used)
     if flops is not None:
-        line["mfu"] = round(flops / (step_ms / 1000) / MEASURED_PEAK_FLOPS, 4)
-    phases = bench_phases(preset)
+        # NOT a datasheet-peak MFU: denominator is this chip's MEASURED
+        # Pallas GEMM-chain ceiling (147 TF/s, tools_dev/mxu_probe.py) —
+        # the key name says so to keep it comparable only to itself
+        line["util_vs_measured_gemm_ceiling_147tf"] = round(
+            flops / (step_ms / 1000) / MEASURED_PEAK_FLOPS, 4
+        )
+    phases = bench_phases(cfg_used, n_rand=bench_n_rand)
     if phases is not None:
         # kernel times are measured in separate dispatch loops; measurement
         # noise can push their sum past step_ms — clamp the remainder

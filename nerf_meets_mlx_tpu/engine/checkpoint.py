@@ -24,8 +24,12 @@ def _ckpt_path(ckpt_dir: str | Path, step: int) -> Path:
 
 
 def save_checkpoint(ckpt_dir: str | Path, state: TrainState, step: int) -> Path:
+    """Multi-process contract: called by EVERY process (orbax's save is a
+    collective with internal barriers); only the primary host creates the
+    directory and writes data."""
     path = _ckpt_path(ckpt_dir, step)
-    path.parent.mkdir(parents=True, exist_ok=True)
+    if jax.process_index() == 0:
+        path.parent.mkdir(parents=True, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state), force=True)
     ckptr.wait_until_finished()

@@ -377,8 +377,13 @@ class Trainer:
         return self.step
 
     def save(self):
-        if not self.main_process:
-            return  # non-main hosts hold identical replicated state
+        # Multi-process: orbax save is a COLLECTIVE (internal
+        # sync_global_devices barriers — found by the real 2-process test,
+        # r5) so EVERY process must enter it; orbax itself writes only on
+        # the primary host. The main_process gate therefore only applies to
+        # the single-process case, where it simulates a non-main host.
+        if jax.process_count() == 1 and not self.main_process:
+            return
         from nerf_meets_mlx_tpu.engine.checkpoint import save_checkpoint
 
         save_checkpoint(self.log_dir / "ckpt", self.state, self.step)

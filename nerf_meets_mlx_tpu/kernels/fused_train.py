@@ -315,8 +315,15 @@ def _train_pallas(
     )
     compiler_params = None
     if est > 12 * 1024 * 1024:
+        # Mosaic stack-allocates ~3x a naive live-set estimate (measured in
+        # fused_feat_train, same pattern) — without the 3x headroom the
+        # upper half of the max_fused_samples range (1024 < S <= 2048,
+        # rays_block=1) can fail scoped-VMEM allocation at compile time
         compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=min(est + 8 * 1024 * 1024, 110 * 1024 * 1024)
+            vmem_limit_bytes=int(
+                min(max(3 * est + 8 * 1024 * 1024, 24 * 1024 * 1024),
+                    110 * 1024 * 1024)
+            )
         )
 
     def const2(m):

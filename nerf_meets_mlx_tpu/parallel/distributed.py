@@ -26,13 +26,42 @@ import jax
 _COORD_ENV_VARS = (
     "JAX_COORDINATOR_ADDRESS",
     "COORDINATOR_ADDRESS",
+    # GKE / megascale TPU pods (jax cluster plugin auto-detect)
+    "MEGASCALE_COORDINATOR_ADDRESS",
     "JAX_NUM_PROCESSES",
     "JAX_PROCESS_ID",
 )
 
+# env vars that carry a PROCESS COUNT under cluster schedulers whose jax
+# cluster plugins auto-discover the coordinator (SLURM, Open MPI, Cloud TPU
+# pods). Presence alone is not enough — e.g. SLURM sets SLURM_NTASKS=1 for a
+# plain salloc shell — so these only count when they parse to > 1.
+_PROC_COUNT_ENV_VARS = (
+    "SLURM_NTASKS",          # jax SlurmCluster
+    "SLURM_JOB_NUM_NODES",
+    "OMPI_COMM_WORLD_SIZE",  # jax OmpiCluster
+    "MEGASCALE_NUM_SLICES",  # multi-slice TPU
+    "TPU_WORKER_HOSTNAMES",  # Cloud TPU pod: comma-separated host list
+)
+
 
 def _multiprocess_configured() -> bool:
-    return any(os.environ.get(v) for v in _COORD_ENV_VARS)
+    if any(os.environ.get(v) for v in _COORD_ENV_VARS):
+        return True
+    for v in _PROC_COUNT_ENV_VARS:
+        raw = os.environ.get(v, "")
+        if not raw:
+            continue
+        if v == "TPU_WORKER_HOSTNAMES":
+            if len([h for h in raw.split(",") if h.strip()]) > 1:
+                return True
+            continue
+        try:
+            if int(raw) > 1:
+                return True
+        except ValueError:
+            continue
+    return False
 
 
 def init_distributed(

@@ -1,20 +1,34 @@
-"""Worker process for tests/test_distributed.py::test_two_process_real_init.
+"""Worker process for tests/test_distributed.py::test_multiprocess_real_trainer.
 
-Runs REAL jax.distributed.initialize (CPU backend, gloo collectives, 4
-virtual devices per process -> 8 global), trains a few sharded steps of the
-tiny hierarchical NeRF over the global mesh, then dumps its local view of
-the (replicated) params and emulates the Trainer's main-process-gated
-checkpoint write.
+Runs REAL jax.distributed.initialize (CPU backend, gloo collectives,
+8 // n_processes virtual devices per process -> 8 global), then drives the
+ACTUAL Trainer — no emulation (r4 verdict weak #5):
 
-argv: <coordinator_port> <process_id> <out_dir>
+  phase A: Trainer.run(4 sharded steps over the global mesh) + Trainer.save()
+           (real orbax checkpoint, main-process gated) into a per-process
+           log dir, so the test can assert non-main processes wrote NOTHING.
+  phase B: a FRESH Trainer on every process pointed at process-0's log dir
+           restores the checkpoint (orbax restore + replicate_state), runs 3
+           more steps, and dumps its local view of the params.
+
+The test asserts: per-process write gating, restored step == saved step,
+and bitwise-identical post-resume params across processes.
+
+argv: <coordinator_port> <process_id> <n_processes> <out_dir>
 """
 
 import os
 import sys
 from pathlib import Path
 
-port, idx, out_dir = sys.argv[1], int(sys.argv[2]), Path(sys.argv[3])
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+port, idx, nproc, out_dir = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), Path(sys.argv[4])
+)
+assert 8 % nproc == 0, nproc
+local_devices = 8 // nproc
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={local_devices}"
+)
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -29,28 +43,30 @@ from nerf_meets_mlx_tpu.parallel.distributed import (  # noqa: E402
 )
 
 init_distributed(
-    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=idx
+    coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=idx
 )
-assert jax.process_count() == 2, jax.process_count()
-assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 8 and len(jax.local_devices()) == local_devices
 
 import dataclasses  # noqa: E402
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
+from jax.experimental import multihost_utils  # noqa: E402
 
 from nerf_meets_mlx_tpu.config import lego_hierarchical  # noqa: E402
-from nerf_meets_mlx_tpu.engine.train_state import create_train_state  # noqa: E402
+from nerf_meets_mlx_tpu.engine import Trainer  # noqa: E402
 from nerf_meets_mlx_tpu.models import create_nerf  # noqa: E402
 from nerf_meets_mlx_tpu.parallel import (  # noqa: E402
     make_mesh,
     make_sharded_nerf_train_step,
-    replicate_state,
 )
 
 cfg = lego_hierarchical()
 cfg = cfg.replace(
-    train=dataclasses.replace(cfg.train, n_rand=16, precrop_iters=0),
+    train=dataclasses.replace(
+        cfg.train, n_rand=16, precrop_iters=0, i_weights=0
+    ),
     render=dataclasses.replace(cfg.render, n_samples=4, n_importance=4),
     mlp=dataclasses.replace(cfg.mlp, net_depth=2, net_width=16),
     mlp_fine=dataclasses.replace(cfg.mlp_fine, net_depth=2, net_width=16),
@@ -63,28 +79,55 @@ images = jnp.asarray(rng.uniform(size=(2, H, W, 3)), jnp.float32)
 poses = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None, :3, :4], (2, 1, 1))
 poses = poses.at[:, 2, 3].set(4.0)
 
-mesh = make_mesh()  # spans all 8 global devices across both processes
+mesh = make_mesh()  # spans all 8 global devices across the processes
 assert mesh.devices.size == 8
-assert host_local_batch(cfg.train.n_rand) == 8  # 2 hosts
+assert host_local_batch(cfg.train.n_rand) == 16 // nproc
 
 step = make_sharded_nerf_train_step(model, H, W, focal, mesh)
-state = replicate_state(
-    create_train_state(model.init(jax.random.PRNGKey(0)), cfg.train), mesh
-)
-key = jax.random.PRNGKey(7)
-for _ in range(3):
-    state, aux = step(state, images, poses, key)
 
-# local view of the replicated params
+# ---- phase A: the REAL Trainer, per-process log dir (write-gating check) --
+log_dir = out_dir / f"log_{idx}"
+tr = Trainer(
+    cfg, model, step, (images, poses), log_dir=log_dir,
+    mesh=mesh, main_process=is_main_process(), save_secs=0.0,
+)
+tr.run(4, log_every=1)
+tr.save()  # real orbax checkpoint write (main-process gated inside)
+multihost_utils.sync_global_devices("phase_a_saved")
+
+if idx == 0:
+    assert (log_dir / "metrics.jsonl").exists()
+    assert (log_dir / "ckpt" / "step_00000004").exists()
+else:
+    # the gating contract: a non-main Trainer writes NOTHING
+    assert not (log_dir / "metrics.jsonl").exists(), "non-main wrote metrics"
+    assert not (log_dir / "ckpt").exists(), "non-main wrote a checkpoint"
+
+# ---- phase B: fresh Trainer on EVERY process restores p0's checkpoint ----
+tr2 = Trainer(
+    cfg, model, step, (images, poses), log_dir=out_dir / "log_0",
+    mesh=mesh, main_process=is_main_process(), save_secs=0.0,
+)
+restored = tr2.restore()  # orbax restore + replicate_state over the mesh
+assert restored == 4, restored
+assert tr2.device_step() == 4
+
+# params actually came from the checkpoint: equal to phase-A's trained
+# params, not a fresh init
+a_leaves = jax.tree_util.tree_leaves(jax.device_get(tr.state.params))
+b_leaves = jax.tree_util.tree_leaves(jax.device_get(tr2.state.params))
+for x, y in zip(a_leaves, b_leaves):
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+tr2.run(3, log_every=0)
+assert tr2.device_step() == 7
+
+# local view of the (replicated) post-resume params
 flat = {}
-leaves, _ = jax.tree_util.tree_flatten_with_path(state.params)
+leaves, _ = jax.tree_util.tree_flatten_with_path(tr2.state.params)
 for path, leaf in leaves:
     flat[jax.tree_util.keystr(path)] = np.asarray(leaf.addressable_data(0))
 out_dir.mkdir(parents=True, exist_ok=True)
 np.savez(out_dir / f"params_{idx}.npz", **flat)
 
-# Trainer.save()'s gating: only the main process writes checkpoints
-if is_main_process():
-    (out_dir / f"ckpt_written_by_{idx}").write_text("ok")
-
-print(f"[worker {idx}] done loss={float(aux['loss']):.6f}", flush=True)
+print(f"[worker {idx}] done", flush=True)

@@ -62,9 +62,17 @@ def run_one(tag, preset, max_iters, resolution, log_dir, synth_scene="hard",
         "resolution": resolution,
         "test_psnr_mean": round(float(metrics.get("test_psnr_mean", -1)), 2),
         "test_ssim_mean": round(float(metrics.get("test_ssim_mean", -1)), 4),
-        "train_psnr": round(float(metrics.get("psnr", -1)), 2),
-        "wall_s": round(time.time() - t0, 1),
     }
+    # rows must be self-describing (VERDICT r4 weak #4): a pure-resume
+    # re-measure ("psnr" absent = no training happened) carries NO
+    # train_psnr and its wall clock is labeled as re-measure cost, never
+    # as a training time a consumer could mistake for a leg measurement
+    if "psnr" in metrics:
+        row["train_psnr"] = round(float(metrics["psnr"]), 2)
+        row["wall_s"] = round(time.time() - t0, 1)
+    else:
+        row["remeasure"] = True
+        row["remeasure_wall_s"] = round(time.time() - t0, 1)
     # mirror into the repo: /tmp is wiped between sessions (round-3 lesson —
     # a full battery's results were lost that way)
     repo_results = Path(__file__).resolve().parent.parent / "docs" / "results"
@@ -74,7 +82,8 @@ def run_one(tag, preset, max_iters, resolution, log_dir, synth_scene="hard",
         # skip duplicate rows from no-op resume re-runs (wall_s always
         # differs a little, so compare everything but it)
         def _key(r):
-            return {k: v for k, v in r.items() if k != "wall_s"}
+            return {k: v for k, v in r.items()
+                    if k not in ("wall_s", "remeasure_wall_s")}
 
         if dest.exists():
             lines = [l for l in dest.read_text().splitlines() if l.strip()]
