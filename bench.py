@@ -146,7 +146,7 @@ def bench_phases(cfg, n_rand: int = 4096) -> Optional[dict]:
     variant can't pair its rays/s with the unmodified preset's phases."""
     from nerf_meets_mlx_tpu.kernels.fused_mlp import FusedMLPSpec, pack_params
     from nerf_meets_mlx_tpu.kernels.fused_train import (
-        TrainSpec, default_rays_block, fused_train_apply, pack_inputs_train,
+        TrainSpec, default_group, default_rays_block, fused_train_apply,
     )
     from nerf_meets_mlx_tpu.models import create_nerf
 
@@ -166,33 +166,50 @@ def bench_phases(cfg, n_rand: int = 4096) -> Optional[dict]:
              "fine" if cfg.mlp_fine is not None else "coarse")
         )
     for name, S, level in levels:
-        pts = jnp.asarray(rng.normal(size=(n_rand, S, 3)), jnp.float32)
+        rays_o = jnp.asarray(rng.normal(size=(n_rand, 3)), jnp.float32)
         dirs = jnp.asarray(rng.normal(size=(n_rand, 3)), jnp.float32)
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        viewdirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        z = jnp.sort(
+            jnp.asarray(rng.uniform(0.5, 4.0, size=(n_rand, S)), jnp.float32),
+            axis=-1,
+        )
         deltas = jnp.asarray(rng.uniform(0.01, 0.1, size=(n_rand, S)), jnp.float32)
+        nz = jnp.zeros((n_rand, S), jnp.float32)
         target = jnp.asarray(rng.uniform(size=(n_rand, 3)), jnp.float32)
-        x = pack_inputs_train(pts, dirs, deltas, jnp.zeros((n_rand, S), jnp.float32))
+        rb = default_rays_block(S)
         tspec = TrainSpec(
-            n_samples=S, rays_block=default_rays_block(S), n_rays=n_rand,
+            n_samples=S, rays_block=rb, n_rays=n_rand,
             mode=cfg.render.compositing,
             density_activation=cfg.render.density_activation,
             white_bkgd=cfg.render.white_bkgd,
+            group=default_group(S, rb),
         )
         packed = pack_params(spec, params[level])
 
-        def f(packed, x):
-            sse, _, _ = fused_train_apply(spec, tspec, packed, x, target)
-            return sse
+        # device-true time: chain the calls through a lax.scan inside one
+        # jit (per-dispatch overhead on the tunneled platform is 0.3-1.9 ms
+        # per call — r5; a 20-dispatch loop overstates kernel time by it)
+        def one(carry, _):
+            p0 = [packed[0] + carry * 0.0] + list(packed[1:])
+            sse, _, _ = fused_train_apply(
+                spec, tspec, p0, rays_o, dirs, viewdirs, z, deltas, nz, target
+            )
+            return sse * 1e-30, ()
 
-        jf = jax.jit(f)
-        for _ in range(3):
-            r = jf(packed, x)
+        n_chain = 20
+
+        def chain():
+            s, _ = jax.lax.scan(one, jnp.float32(0.0), None, length=n_chain)
+            return s
+
+        jf = jax.jit(chain)
+        for _ in range(2):
+            r = jf()
         float(r)
         t0 = time.perf_counter()
-        for _ in range(20):
-            r = jf(packed, x)
+        r = jf()
         float(r)
-        out[name] = round((time.perf_counter() - t0) / 20 * 1000, 2)
+        out[name] = round((time.perf_counter() - t0) / n_chain * 1000, 2)
     return out
 
 

@@ -55,8 +55,31 @@ from nerf_meets_mlx_tpu.kernels.fused_mlp import _interpret
 from nerf_meets_mlx_tpu.kernels.fused_train import (
     TrainSpec,
     _alpha_terms,
-    selector_mats,
 )
+
+
+def selector_mats(tspec: TrainSpec):
+    """(CS [RBS, RBS], U [RB, RBS], U_first [RB, RBS]) as numpy f32 —
+    the POINT-major compositing selectors this kernel still uses
+    (fused_train v3 moved to ray-major [S, S] scan matrices; the feat
+    kernel keeps the block-diagonal CS formulation: its RBS blocks are
+    small enough that CS is not the VMEM limiter here).
+
+      CS[k, j] = 1 iff points k, j share a ray and j < k  (exclusive prefix)
+      U[r, k]  = 1 iff point k belongs to ray r
+      U_first[r, k] = 1 iff point k is ray r's first sample
+    """
+    RB, S = tspec.rays_block, tspec.n_samples
+    RBS = RB * S
+    k = np.arange(RBS)
+    ray = k // S
+    CS = ((ray[:, None] == ray[None, :]) & (k[None, :] < k[:, None])).astype(
+        np.float32
+    )
+    r = np.arange(RB)
+    U = (r[:, None] == ray[None, :]).astype(np.float32)
+    U_first = ((r[:, None] * S) == k[None, :]).astype(np.float32)
+    return CS, U, U_first
 
 
 @dataclasses.dataclass(frozen=True)

@@ -285,9 +285,13 @@ def _sin_mask(spec: FusedMLPSpec, shape) -> jnp.ndarray:
     return jax.lax.broadcasted_iota(jnp.int32, shape, 1) < spec.n_sin
 
 
-def _forward_core(spec: FusedMLPSpec, X, ws, want_residuals: bool = False):
+def _forward_core(spec: FusedMLPSpec, X, ws, want_residuals: bool = False,
+                  T=None):
     """The GEMM chain. `ws` is the packed list (already loaded values).
-    Returns out [N, 8] (+ residuals for backward)."""
+    Returns out [N, 8] (+ residuals for backward). Pass a precomputed
+    encode tile `T` ([N, SW], = X @ M + phi) to skip the packed encode GEMM
+    (the v3 fused_train kernel builds T from in-kernel-reconstructed
+    points; X is then unused and may be None)."""
     cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
 
     def mm(a, b):
@@ -295,7 +299,8 @@ def _forward_core(spec: FusedMLPSpec, X, ws, want_residuals: bool = False):
 
     it = iter(ws)
     M, phi = next(it), next(it)
-    T = mm(X, M) + phi
+    if T is None:
+        T = mm(X, M) + phi
     S = jnp.where(_sin_mask(spec, (1, spec.sw)), jnp.sin(T), T)
 
     A0, b0 = next(it), next(it)
@@ -452,10 +457,13 @@ def _backprop_core(
     return grads, dx
 
 
-def _accumulate_dw(grads: List[Optional[jnp.ndarray]], dw_refs) -> None:
+def _accumulate_dw(grads: List[Optional[jnp.ndarray]], dw_refs, first=None) -> None:
     """Accumulate per-block weight grads into grid-invariant output blocks
-    (TPU grids are sequential: zero-init on the first grid step)."""
-    first = pl.program_id(0) == 0
+    (TPU grids are sequential: zero-init on the first grid step). `first`
+    may be a traced predicate (grouped kernels: first grid step AND first
+    in-body sub-block); defaults to the grid-level first step."""
+    if first is None:
+        first = pl.program_id(0) == 0
     for k, r in enumerate(dw_refs):
         g = grads[2 + k]
         assert g is not None, f"missing grad for packed array {2 + k}"

@@ -8,34 +8,46 @@ work is paid twice. But the training loss is plain MSE against a known
 target, so its cotangent dL/drgb_map = 2·(rgb_map − target)/n is closed
 form: a single kernel can run the forward, composite the ray colors, form
 the loss gradient, and backprop — with every activation still resident in
-VMEM. This removes the entire duplicated forward (≈ fwd-launch time per
-level per step) and also absorbs the XLA compositing/loss ops.
+VMEM. This removes the entire duplicated forward and also absorbs the XLA
+compositing/loss ops.
 
 This is SURVEY.md §7's "one fused ray-march kernel": stratified z-sampling
 and importance resampling stay outside (they are parameter-free data
 movement), everything parameterized — encode, MLP, transmittance scan,
 composite, loss grad, backprop — is one launch.
 
-Compositing inside the kernel, TPU-shaped:
+v3 (r5): RAY-MAJOR dense IO. The r5 device-true ablation
+(tools_dev/fused_train_ablation_probe.py, measured with lax.scan-chained
+kernels after discovering 0.3–1.9 ms per-dispatch overhead on the tunneled
+platform) showed the v2 kernel's GEMMs already ran at the analytic roofline;
+the remaining ~3 ms/level was DMA of LANE-PADDED narrow arrays: the
+point-major [N, 8] input and [N, 3]/[N, 1] outputs are physically stored as
+(8, 128) tiles, a 16–43× byte inflation (~1.6 GB of HBM traffic per fine
+call). v3 eliminates the padded streams entirely:
 
-* The kernel blocks over RAYS (rays_block rays × n_samples points per grid
-  step) so the per-ray transmittance scan never crosses a block boundary.
-* No reshapes/gathers: the within-ray exclusive prefix sum is a GEMM with a
-  block-diagonal strictly-lower 0/1 matrix CS built from iota comparisons
-  (CS[k, j] = 1 iff points k, j share a ray and j < k); the backward's
-  within-ray suffix sums reuse CS through a transposed contraction. Ray
-  reductions (color composite, per-point broadcast of per-ray cotangents)
-  use the ray-selector matrix U[r, k] = 1 iff point k ∈ ray r. These
-  matrices cost ≲1 MACs-million per block — noise against the MLP GEMMs.
-* Per-point delta (pre-scaled by ‖rays_d‖, with the reference's 1e10
-  terminal bin — render.py:46-59) and pre-scaled density noise ride in the
-  two spare input columns (6, 7) of the [N, 8] input tile: rows 6/7 of the
-  packed band matrix are structurally zero, so they never leak into the
-  network.
-* Both compositing modes of rendering/volume.py are supported: "canonical"
-  (sigmoid rgb, softplus/relu density, optical-depth transmittance) and
-  "reference" (raw rgb, relu only in alpha, RAW densities in the cumsum —
-  render.py:67-79 semantics).
+* Inputs are per-RAY and dense: rw [R, 16] (origin, direction, viewdir),
+  z/deltas/noise [R, S] (lane-dense for S ≥ 128), target [R, 3]. Points are
+  reconstructed IN-KERNEL (pts = o + z·d) via skinny selector GEMMs — the
+  [N, 8] point stream (405 MB physical at the fine batch) never exists.
+* Compositing runs RAY-MAJOR on [RB, S] tiles: the within-ray prefix/suffix
+  sums are GEMMs with one [S, S] strictly-upper matrix A (prefix = q @ A,
+  suffix = x @ Aᵀ). This replaces v2's [RBS, RBS] block-diagonal CS matrix —
+  which was both the 2.2 ms narrow-GEMM tax and the quadratic VMEM term that
+  capped the block size.
+* Point-major ↔ ray-major conversions use two constant selectors:
+  U [RB, RBS] (ray-of-point) and E [RBS, S] (sample-slot-of-point):
+  to ray-major: U @ (v ⊙ E); to point-major: rowsum((Uᵀ @ V) ⊙ E).
+  Each conversion is a ~2 M-MAC skinny GEMM — noise against the MLP chain.
+* Outputs are dense: rgb_map [R, 3] and weights [R, S] (exactly what the
+  importance sampler consumes) — v2 wrote both point-major-replicated
+  (810 MB of padded writes per fine call).
+* rays_block is a multiple of 8 (sublane-aligned sub-block stores); `group`
+  sub-blocks share one grid step via an in-body fori_loop.
+
+Both compositing modes of rendering/volume.py are supported: "canonical"
+(sigmoid rgb, softplus/relu density, optical-depth transmittance) and
+"reference" (raw rgb, relu only in alpha, RAW densities in the cumsum —
+render.py:67-79 semantics).
 
 Gradient contract: `fused_train_apply` returns (sse, rgb_map, weights) and
 is differentiable ONLY through `sse` (w.r.t. the packed params): the kernel
@@ -73,53 +85,48 @@ class TrainSpec:
     """Static description of the compositing + loss stage."""
 
     n_samples: int            # S: depth samples per ray
-    rays_block: int           # rays per grid step
+    rays_block: int           # rays per SUB-block (multiple of 8)
     n_rays: int               # valid (unpadded) ray count, for masking
     mode: str                 # "canonical" | "reference" (rendering/volume.py)
     density_activation: str   # "softplus" | "relu" (canonical mode only)
     white_bkgd: bool
+    # sub-blocks per grid step (in-body fori_loop): amortizes per-step
+    # costs; the VMEM-limiting live set stays sized by the sub-block
+    group: int = 1
 
 
-def max_fused_samples(target_points: int = 1024) -> int:
-    """Largest per-ray sample count the kernel accepts. Past ~2x the block
-    target, rays_block clamps to 1 and the [RBS, RBS] scan matrix + live
-    activations grow as n_samples^2 with no way to shrink the block —
-    callers (factory.supports_fused_train) fall back to the unfused path
-    rather than VMEM-OOM at compile time."""
-    return 2 * target_points
+def max_fused_samples() -> int:
+    """Largest per-ray sample count the kernel accepts. v3 requires
+    rays_block to be a multiple of 8 (sublane-aligned ray-major stores), so
+    past S=256 the minimum block is 8·S points and the stashed activations
+    (~22 KB/point) blow the scoped-VMEM budget — callers
+    (factory.supports_fused_train) fall back to the unfused path rather
+    than VMEM-OOM at compile time."""
+    return 256
 
 
 def default_rays_block(n_samples: int, target_points: int = 1024) -> int:
-    """Rays per block such that rays_block * n_samples ≈ target_points.
+    """Rays per sub-block: multiple of 8 (sublane alignment for the
+    ray-major IO), sized so rays_block * n_samples ≈ target_points.
 
-    The block must keep all `depth` layer activations plus the dW
-    accumulators and the [RBS, RBS] scan matrix in VMEM (the wrapper
-    raises the compiler's scoped-VMEM cap when the estimate needs it).
-    Swept on v5e (tools_dev/rays_block_sweep.py, r4): 1024-point blocks
-    beat 512 at both flagship levels (coarse 10.5 -> 9.9 ms, fine
-    30.1 -> 28.6 ms); 2048 regresses both."""
-    if n_samples > max_fused_samples(target_points):
+    The sub-block must keep all `depth` layer activations plus the dW
+    accumulators in VMEM (the wrapper raises the compiler's scoped-VMEM cap
+    when the estimate needs it)."""
+    if n_samples > max_fused_samples():
         raise ValueError(
             f"n_samples={n_samples} exceeds the fused-train kernel's VMEM "
-            f"bound ({max_fused_samples(target_points)}); use the unfused "
+            f"bound ({max_fused_samples()}); use the unfused "
             "path (factory.supports_fused_train gates this automatically)"
         )
-    return max(1, target_points // n_samples)
+    rb = max(1, target_points // n_samples) // 8 * 8
+    return max(8, rb)
 
 
-def pack_inputs_train(
-    pts: jnp.ndarray,       # [B, S, 3]
-    viewdirs: jnp.ndarray,  # [B, 3] normalized
-    deltas: jnp.ndarray,    # [B, S] — pre-scaled by ||rays_d||, 1e10 terminal
-    noise: jnp.ndarray,     # [B, S] — pre-scaled density noise (zeros if off)
-) -> jnp.ndarray:
-    """[B*S, 8] kernel input: cols 0-2 pts, 3-5 dirs, 6 delta, 7 noise."""
-    B, S = pts.shape[:2]
-    dirs = jnp.broadcast_to(viewdirs[:, None, :], (B, S, 3))
-    x = jnp.concatenate(
-        [pts, dirs, deltas[..., None], noise[..., None]], axis=-1
-    )
-    return x.reshape(B * S, 8)
+def default_group(
+    n_samples: int, rays_block: int, target_points: int = 8192
+) -> int:
+    """Sub-blocks per grid step: ~8192 points each."""
+    return max(1, target_points // (rays_block * n_samples))
 
 
 # ---------------------------------------------------------------------------
@@ -168,21 +175,35 @@ def _alpha_terms(tspec: TrainSpec, raw_sigma, delta):
 
 
 def selector_mats(tspec: TrainSpec):
-    """(CS [RBS, RBS], U [RB, RBS], U_first [RB, RBS]) as numpy f32.
+    """(U [RB, RBS], E [RBS, S], A [S, S]) as numpy f32, grid-invariant
+    kernel inputs (constant index maps keep them VMEM-resident):
 
-    Grid-invariant kernel INPUTS (constant index maps keep them VMEM-
-    resident across the whole grid). v1 rebuilt them from iota compares on
-    every grid step; at the fine level (rays_block=2 -> 2048 grid steps per
-    4096-ray batch) those VPU compares rivalled the compositing GEMMs."""
+      U[r, k] = 1 iff point k belongs to ray r        (ray-of-point)
+      E[k, s] = 1 iff point k is sample slot s        (slot-of-point)
+      A[t, s] = 1 iff t < s (strictly upper): ray-major exclusive prefix
+                sums are `x @ A`, exclusive suffix sums are `x @ Aᵀ`.
+    """
     RB, S = tspec.rays_block, tspec.n_samples
     RBS = RB * S
     k = np.arange(RBS)
-    ray = k // S
-    CS = ((ray[:, None] == ray[None, :]) & (k[None, :] < k[:, None])).astype(np.float32)
     r = np.arange(RB)
-    U = (r[:, None] == ray[None, :]).astype(np.float32)
-    U_first = ((r[:, None] * S) == k[None, :]).astype(np.float32)
-    return CS, U, U_first
+    U = (r[:, None] == (k[None, :] // S)).astype(np.float32)
+    E = ((k[:, None] % S) == np.arange(S)[None, :]).astype(np.float32)
+    t = np.arange(S)
+    A = (t[:, None] < t[None, :]).astype(np.float32)
+    return U, E, A
+
+
+def pack_ray_inputs(
+    rays_o: jnp.ndarray,    # [R, 3]
+    rays_d: jnp.ndarray,    # [R, 3] (raw — pts = o + z·d)
+    viewdirs: jnp.ndarray,  # [R, 3] normalized (dir-head input)
+) -> jnp.ndarray:
+    """[R, 16] per-ray row: cols 0-2 origin, 3-5 direction, 6-8 viewdir."""
+    return jnp.pad(
+        jnp.concatenate([rays_o, rays_d, viewdirs], axis=-1),
+        ((0, 0), (0, 7)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -191,23 +212,19 @@ def selector_mats(tspec: TrainSpec):
 
 
 def _train_kernel(
-    spec: FusedMLPSpec, tspec: TrainSpec, x_ref, target_ref, cs_ref, u_ref,
-    uf_ref, *refs,
+    spec: FusedMLPSpec, tspec: TrainSpec, rw_ref, z_ref, delta_ref,
+    noise_ref, target_ref, u_ref, e_ref, a_ref, *refs,
 ):
     n_w = _n_layer_arrays(spec)
     w_refs = refs[:n_w]
     rgb_ref, wts_ref, sse_ref = refs[n_w], refs[n_w + 1], refs[n_w + 2]
     dw_refs = refs[n_w + 3 :]
     ws = [r[:] for r in w_refs]
-    X = x_ref[:]  # [RBS, 8]
-    RB, S = tspec.rays_block, tspec.n_samples
+    RB, S, G = tspec.rays_block, tspec.n_samples, tspec.group
     RBS = RB * S
     f32 = jnp.float32
-
-    out, residuals = _forward_core(spec, X, ws, want_residuals=True)
-    raw_rgb = out[:, 0:3]                    # [RBS, 3]
-    raw_sigma = out[:, 3:4] + X[:, 7:8]      # + pre-scaled noise (col 7)
-    delta = X[:, 6:7]                        # [RBS, 1]
+    U, E, A = u_ref[:], e_ref[:], a_ref[:]
+    pid = pl.program_id(0)
 
     def mmf(a, b):  # f32 matmul (compositing precision)
         return jnp.dot(a, b, preferred_element_type=f32)
@@ -217,65 +234,105 @@ def _train_kernel(
             a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
         )
 
-    CS, U, U_first = cs_ref[:], u_ref[:], uf_ref[:]
+    def mmbTf(a, b):  # a @ b.T (contract dim 1), f32
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
 
-    q, alpha, dalpha_dq, dq_to_draw = _alpha_terms(tspec, raw_sigma, delta)
-    Texc = jnp.exp(-mmf(CS, q))              # exclusive within-ray prefix
-    w = alpha * Texc                         # [RBS, 1] sample weights
-    c = jax.nn.sigmoid(raw_rgb) if tspec.mode == "canonical" else raw_rgb
+    def to_pm(v_rm):  # [RB, S] ray-major -> [RBS, 1] point-major
+        return jnp.sum(mmTf(U, v_rm) * E, axis=1, keepdims=True)
 
-    rgb_map = mmf(U, w * c)                  # [RB, 3]
-    if tspec.white_bkgd:
-        acc = mmf(U, w)                      # [RB, 1]
-        rgb_map = rgb_map + (1.0 - acc)
+    def to_rm(v_pm):  # [RBS, 1] point-major -> [RB, S] ray-major
+        return mmf(U, v_pm * E)
 
-    # per-point outputs (per-RAY blocks of 2-8 sublanes violate the TPU
-    # (8, 128) tiling rule, so weights/rgb leave the kernel point-major and
-    # the wrapper reshapes/slices them outside)
-    wts_ref[:] = w
-    rgb_ref[:] = mmTf(U, rgb_map)            # ray rgb replicated per point
+    def sub_block(j, carry):
+        rw = rw_ref[pl.ds(j * RB, RB), :]        # [RB, 16]
+        zb = z_ref[pl.ds(j * RB, RB), :]         # [RB, S]
+        db = delta_ref[pl.ds(j * RB, RB), :]     # [RB, S]
+        nb = noise_ref[pl.ds(j * RB, RB), :]     # [RB, S]
+        tb = target_ref[pl.ds(j * RB, RB), :]    # [RB, 3]
 
-    # ---- loss (masked: padded rays contribute nothing) ----
-    # per-ray target = the first sample's row of the point-major target
-    # (exact — no division)
-    target_ray = mmf(U_first, target_ref[:])  # [RB, 3]
-    pid = pl.program_id(0)
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (RB, 1), 0) + pid * RB
-    valid = (ridx < tspec.n_rays).astype(f32)        # [RB, 1]
-    resid = (rgb_map - target_ray) * valid
-    sse_blk = jnp.sum(resid * resid, axis=(0, 1), keepdims=True)  # [1, 1]
+        # in-kernel point construction: pts = o + z·d (the [N, 8] padded
+        # point stream of v2 never exists)
+        pm16 = mmTf(U, rw)                       # [RBS, 16]
+        z_pm = to_pm(zb)                         # [RBS, 1]
+        pts = pm16[:, 0:3] + z_pm * pm16[:, 3:6]
+        vd_pm = pm16[:, 6:9]
 
-    first = pid == 0
+        # packed encode directly from parts: M rows 0-2 are position bands,
+        # 3-5 direction bands (rows 6-7 structurally zero in v2's layout)
+        cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else f32
+        M, phi = ws[0], ws[1]
+        T = (
+            jnp.dot(pts.astype(cdt), M[0:3].astype(cdt),
+                    preferred_element_type=f32)
+            + jnp.dot(vd_pm.astype(cdt), M[3:6].astype(cdt),
+                      preferred_element_type=f32)
+            + phi
+        )
+        out, residuals = _forward_core(spec, None, ws, want_residuals=True, T=T)
+        raw_rgb = out[:, 0:3]                    # [RBS, 3] point-major
 
-    @pl.when(first)
-    def _():
-        sse_ref[:] = sse_blk
+        # ---- ray-major compositing ----
+        sig_rm = to_rm(out[:, 3:4]) + nb         # [RB, S] + pre-scaled noise
+        q, alpha, dalpha_dq, dq_to_draw = _alpha_terms(tspec, sig_rm, db)
+        Texc = jnp.exp(-mmf(q, A))               # exclusive within-ray prefix
+        w_rm = alpha * Texc                      # [RB, S] sample weights
+        c = jax.nn.sigmoid(raw_rgb) if tspec.mode == "canonical" else raw_rgb
 
-    @pl.when(jnp.logical_not(first))
-    def _():
-        sse_ref[:] = sse_ref[:] + sse_blk
+        w_pm = to_pm(w_rm)                       # [RBS, 1]
+        rgb_map = mmf(U, w_pm * c)               # [RB, 3]
+        if tspec.white_bkgd:
+            acc = jnp.sum(w_rm, axis=1, keepdims=True)   # [RB, 1]
+            rgb_map = rgb_map + (1.0 - acc)
 
-    # ---- backward: d(sse)/drgb_map = 2·resid ----
-    g = 2.0 * resid                          # [RB, 3]
-    g_pt = mmTf(U, g)                        # [RBS, 3] per-ray broadcast
-    dc = w * g_pt                            # [RBS, 3]
-    dw = jnp.sum(c * g_pt, axis=1, keepdims=True)  # [RBS, 1]
-    if tspec.white_bkgd:
-        gsum = jnp.sum(g, axis=1, keepdims=True)   # [RB, 1]
-        dw = dw - mmTf(U, gsum)
+        wts_ref[pl.ds(j * RB, RB), :] = w_rm
+        rgb_ref[pl.ds(j * RB, RB), :] = rgb_map
 
-    # w_s = alpha_s·T_s with T_s = exp(-Σ_{t<s} q_t):
-    #   dq_t = dw_t·T_t·(dalpha/dq)_t − Σ_{s>t} dw_s·w_s
-    # (the suffix sum is CS through the transposed contraction)
-    dq = dw * Texc * dalpha_dq - mmTf(CS, dw * w)
-    draw_sigma = dq * dq_to_draw
-    draw_rgb = dc * c * (1.0 - c) if tspec.mode == "canonical" else dc
+        # ---- loss (masked: padded rays contribute nothing) ----
+        ridx = (
+            jax.lax.broadcasted_iota(jnp.int32, (RB, 1), 0)
+            + (pid * G + j) * RB
+        )
+        valid = (ridx < tspec.n_rays).astype(f32)        # [RB, 1]
+        resid = (rgb_map - tb) * valid
+        sse_blk = jnp.sum(resid * resid, axis=(0, 1), keepdims=True)  # [1, 1]
 
-    dout = jnp.concatenate(
-        [draw_rgb, draw_sigma, jnp.zeros((RBS, 4), f32)], axis=1
-    )
-    grads, _ = _backprop_core(spec, ws, residuals, dout)
-    _accumulate_dw(grads, dw_refs)
+        first = jnp.logical_and(pid == 0, j == 0)
+
+        @pl.when(first)
+        def _():
+            sse_ref[:] = sse_blk
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            sse_ref[:] = sse_ref[:] + sse_blk
+
+        # ---- backward: d(sse)/drgb_map = 2·resid ----
+        g = 2.0 * resid                          # [RB, 3]
+        g_pt = mmTf(U, g)                        # [RBS, 3] per-ray broadcast
+        dc = w_pm * g_pt                         # [RBS, 3]
+        dwght_pm = jnp.sum(c * g_pt, axis=1, keepdims=True)  # [RBS, 1]
+        if tspec.white_bkgd:
+            gsum = jnp.sum(g, axis=1, keepdims=True)   # [RB, 1]
+            dwght_pm = dwght_pm - mmTf(U, gsum)
+
+        # w_s = alpha_s·T_s with T_s = exp(-Σ_{t<s} q_t):
+        #   dq_t = dw_t·T_t·(dalpha/dq)_t − Σ_{s>t} dw_s·w_s
+        # (exclusive suffix = @ Aᵀ)
+        dw_rm = to_rm(dwght_pm)                  # [RB, S]
+        dq_rm = dw_rm * Texc * dalpha_dq - mmbTf(dw_rm * w_rm, A)
+        draw_sigma = to_pm(dq_rm * dq_to_draw)   # [RBS, 1]
+        draw_rgb = dc * c * (1.0 - c) if tspec.mode == "canonical" else dc
+
+        dout = jnp.concatenate(
+            [draw_rgb, draw_sigma, jnp.zeros((RBS, 4), f32)], axis=1
+        )
+        grads, _ = _backprop_core(spec, ws, residuals, dout)
+        _accumulate_dw(grads, dw_refs, first=first)
+        return carry
+
+    jax.lax.fori_loop(0, G, sub_block, 0, unroll=False)
 
 
 # ---------------------------------------------------------------------------
@@ -287,38 +344,42 @@ def _train_pallas(
     spec: FusedMLPSpec,
     tspec: TrainSpec,
     packed: List[jnp.ndarray],
-    x: jnp.ndarray,        # [R*S, 8]
-    target: jnp.ndarray,   # [R, 3]
+    rays_o: jnp.ndarray,    # [R, 3]
+    rays_d: jnp.ndarray,    # [R, 3]
+    viewdirs: jnp.ndarray,  # [R, 3] normalized
+    z_vals: jnp.ndarray,    # [R, S]
+    deltas: jnp.ndarray,    # [R, S] — pre-scaled by ||rays_d||, 1e10 terminal
+    noise: jnp.ndarray,     # [R, S] — pre-scaled density noise (zeros if off)
+    target: jnp.ndarray,    # [R, 3]
 ):
-    RB, S = tspec.rays_block, tspec.n_samples
+    RB, S, G = tspec.rays_block, tspec.n_samples, tspec.group
     RBS = RB * S
     R = target.shape[0]
-    assert x.shape[0] == R * S, (x.shape, R, S)
-    R_pad = -(-R // RB) * RB
-    xp = jnp.pad(x, ((0, (R_pad - R) * S), (0, 0)))
-    tp = jnp.pad(target, ((0, R_pad - R), (0, 0)))
-    # point-major target (per-ray blocks would violate the (8, 128) tiling
-    # minimum; the replication costs ~10 MB of HBM reads per call)
-    tp = jnp.broadcast_to(tp[:, None, :], (R_pad, S, 3)).reshape(R_pad * S, 3)
-    grid = (R_pad // RB,)
-    CS, U, U_first = (jnp.asarray(m) for m in selector_mats(tspec))
+    assert z_vals.shape == (R, S), (z_vals.shape, R, S)
+    R_pad = -(-R // (RB * G)) * (RB * G)
+    pad = ((0, R_pad - R), (0, 0))
+    rw = jnp.pad(pack_ray_inputs(rays_o, rays_d, viewdirs), pad)
+    zp = jnp.pad(z_vals, pad)
+    dp = jnp.pad(deltas, pad)
+    np_ = jnp.pad(noise, pad)
+    tp = jnp.pad(target, pad)
+    grid = (R_pad // (RB * G),)
+    U, E, A = (jnp.asarray(m) for m in selector_mats(tspec))
 
     # scoped-VMEM estimate: residual activations dominate (T, S, hs[depth],
-    # feat, hd), plus the CS matrix, the packed weights and dW accumulators;
-    # raise the compiler's ~16 MB default when a large rays_block needs it
-    # (physical VMEM is far larger)
+    # feat, hd), plus the selectors, the packed weights and dW accumulators;
+    # raise the compiler's ~16 MB default when a large sub-block needs it
+    # (physical VMEM is far larger). Mosaic stack-allocates up to ~3x a
+    # naive live-set estimate (measured in fused_feat_train).
     n_res = 2 * spec.sw + spec.depth * spec.width + spec.width + spec.w2
     est = 4 * (
         2 * RBS * n_res
-        + RBS * RBS
+        + RBS * S + S * S + RB * RBS
+        + G * RB * (16 + 3 * S + 3 + S + 3)
         + 2 * sum(int(np.prod(w.shape)) for w in packed)
     )
     compiler_params = None
     if est > 12 * 1024 * 1024:
-        # Mosaic stack-allocates ~3x a naive live-set estimate (measured in
-        # fused_feat_train, same pattern) — without the 3x headroom the
-        # upper half of the max_fused_samples range (1024 < S <= 2048,
-        # rays_block=1) can fail scoped-VMEM allocation at compile time
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=int(
                 min(max(3 * est + 8 * 1024 * 1024, 24 * 1024 * 1024),
@@ -329,44 +390,38 @@ def _train_pallas(
     def const2(m):
         return pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    w_specs = [
-        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-        for w in packed
-    ]
+    def blk(cols):
+        return pl.BlockSpec(
+            (G * RB, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    w_specs = [const2(w) for w in packed]
     dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed[2:]]
-    dw_specs = [
-        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-        for w in packed[2:]
-    ]
+    dw_specs = [const2(w) for w in packed[2:]]
     outs = pl.pallas_call(
         functools.partial(_train_kernel, spec, tspec),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((RBS, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RBS, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            const2(CS), const2(U), const2(U_first),
+            blk(16), blk(S), blk(S), blk(S), blk(3),
+            const2(U), const2(E), const2(A),
             *w_specs,
         ],
         out_specs=[
-            pl.BlockSpec((RBS, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RBS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            blk(3),
+            blk(S),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             *dw_specs,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((R_pad * S, 3), jnp.float32),
-            jax.ShapeDtypeStruct((R_pad * S, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((R_pad, S), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             *dw_shapes,
         ],
         compiler_params=compiler_params,
         interpret=_interpret(),
-    )(xp, tp, CS, U, U_first, *packed)
-    # back to per-ray layout: rgb is replicated across a ray's points (take
-    # the first); weights are point-major
-    rgb = outs[0].reshape(R_pad, S, 3)[:R, 0]
-    wts = outs[1].reshape(R_pad, S)[:R]
-    return rgb, wts, outs[2][0, 0], list(outs[3:])
+    )(rw, zp, dp, np_, tp, U, E, A, *packed)
+    return outs[0][:R], outs[1][:R], outs[2][0, 0], list(outs[3:])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -374,26 +429,36 @@ def _fused_train_core(
     spec: FusedMLPSpec,
     tspec: TrainSpec,
     packed: List[jnp.ndarray],
-    x: jnp.ndarray,
-    target: jnp.ndarray,
+    rays_o, rays_d, viewdirs, z_vals, deltas, noise, target,
 ):
-    rgb, wts, sse, _ = _train_pallas(spec, tspec, packed, x, target)
+    rgb, wts, sse, _ = _train_pallas(
+        spec, tspec, packed, rays_o, rays_d, viewdirs, z_vals, deltas,
+        noise, target,
+    )
     return sse, rgb, wts
 
 
-def _vjp_fwd(spec, tspec, packed, x, target):
-    rgb, wts, sse, dws = _train_pallas(spec, tspec, packed, x, target)
-    return (sse, rgb, wts), (dws, x.shape, target.shape)
+def _vjp_fwd(spec, tspec, packed, rays_o, rays_d, viewdirs, z_vals, deltas,
+             noise, target):
+    rgb, wts, sse, dws = _train_pallas(
+        spec, tspec, packed, rays_o, rays_d, viewdirs, z_vals, deltas,
+        noise, target,
+    )
+    shapes = tuple(
+        a.shape for a in
+        (rays_o, rays_d, viewdirs, z_vals, deltas, noise, target)
+    )
+    return (sse, rgb, wts), (dws, shapes)
 
 
 def _vjp_bwd(spec, tspec, res, cots):
-    dws, x_shape, t_shape = res
+    dws, shapes = res
     dsse, _drgb, _dwts = cots  # rgb/weights cotangents are structurally zero
     dpacked = [
         jnp.zeros((8, spec.sw), jnp.float32),   # band matrix (constant)
         jnp.zeros((1, spec.sw), jnp.float32),   # phases (constant)
     ] + [dsse * g for g in dws]
-    return dpacked, jnp.zeros(x_shape, jnp.float32), jnp.zeros(t_shape, jnp.float32)
+    return (dpacked,) + tuple(jnp.zeros(s, jnp.float32) for s in shapes)
 
 
 _fused_train_core.defvjp(_vjp_fwd, _vjp_bwd)
@@ -403,18 +468,20 @@ def fused_train_apply(
     spec: FusedMLPSpec,
     tspec: TrainSpec,
     packed: List[jnp.ndarray],
-    x: jnp.ndarray,
-    target: jnp.ndarray,
+    rays_o, rays_d, viewdirs, z_vals, deltas, noise, target,
 ):
     """One-launch train op: (sse, rgb_map [R,3], weights [R,S]).
 
     sse = Σ_valid rays ‖rgb_map − target‖² — the ONLY differentiable output
-    (w.r.t. `packed`; x and target are data). rgb_map/weights come back
-    already stop-gradient'd: their cotangents are discarded by the custom
-    VJP (the kernel computes only the sse pullback), so a caller
+    (w.r.t. `packed`; the ray/depth/target inputs are data). rgb_map/weights
+    come back already stop-gradient'd: their cotangents are discarded by the
+    custom VJP (the kernel computes only the sse pullback), so a caller
     differentiating through them must get zero BY CONSTRUCTION rather than
     silently-wrong gradients."""
-    sse, rgb, wts = _fused_train_core(spec, tspec, packed, x, target)
+    sse, rgb, wts = _fused_train_core(
+        spec, tspec, packed, rays_o, rays_d, viewdirs, z_vals, deltas,
+        noise, target,
+    )
     return sse, jax.lax.stop_gradient(rgb), jax.lax.stop_gradient(wts)
 
 
@@ -423,14 +490,44 @@ def fused_train_apply(
 # ---------------------------------------------------------------------------
 
 
+def pack_inputs_train(
+    pts: jnp.ndarray,       # [B, S, 3]
+    viewdirs: jnp.ndarray,  # [B, 3] normalized
+    deltas: jnp.ndarray,    # [B, S] — pre-scaled by ||rays_d||, 1e10 terminal
+    noise: jnp.ndarray,     # [B, S] — pre-scaled density noise (zeros if off)
+) -> jnp.ndarray:
+    """[B*S, 8] point-major packing: cols 0-2 pts, 3-5 dirs, 6 delta,
+    7 noise. The twin's internal layout (v2's kernel input; the v3 kernel
+    reconstructs points in-kernel instead)."""
+    B, S = pts.shape[:2]
+    dirs = jnp.broadcast_to(viewdirs[:, None, :], (B, S, 3))
+    x = jnp.concatenate(
+        [pts, dirs, deltas[..., None], noise[..., None]], axis=-1
+    )
+    return x.reshape(B * S, 8)
+
+
 def fused_train_reference(
+    spec: FusedMLPSpec,
+    tspec: TrainSpec,
+    packed: List[jnp.ndarray],
+    rays_o, rays_d, viewdirs, z_vals, deltas, noise, target,
+):
+    """Same math as the kernel in plain jnp (jax-differentiable)."""
+    pts = rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]
+    x = pack_inputs_train(pts, viewdirs, deltas, noise)
+    return _reference_from_x(spec, tspec, packed, x, target)
+
+
+def _reference_from_x(
     spec: FusedMLPSpec,
     tspec: TrainSpec,
     packed: List[jnp.ndarray],
     x: jnp.ndarray,        # [R*S, 8]
     target: jnp.ndarray,   # [R, 3]
 ):
-    """Same math as the kernel in plain jnp (jax-differentiable)."""
+    """Twin body on the point-major packed layout (also used by tests that
+    construct points directly)."""
     S = tspec.n_samples
     R = target.shape[0]
     out = _forward_core(spec, x, packed)

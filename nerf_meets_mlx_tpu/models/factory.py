@@ -432,10 +432,12 @@ class NeRFModel:
                 FusedMLPSpec,
                 pack_params,
             )
+            import dataclasses as _dc
+
             from nerf_meets_mlx_tpu.kernels.fused_train import (
+                default_group,
                 default_rays_block,
                 fused_train_apply,
-                pack_inputs_train,
             )
 
             def run_level(level, z, k_noise, n_samples):
@@ -446,15 +448,17 @@ class NeRFModel:
                     mlp_cfg, self.cfg.pos_encoding, self.cfg.dir_encoding,
                     compute_dx=False,
                 )
-                pts = rays_o[..., None, :] + z[..., :, None] * rays_d[..., None, :]
+                # v3 ray-major dense IO: no point-major [B*S, 8] packing —
+                # the kernel reconstructs pts = o + z·d internally
                 deltas, noise = deltas_noise(z, k_noise)
-                x = pack_inputs_train(pts, viewdirs, deltas, noise)
+                rb = default_rays_block(n_samples)
+                tspec = _dc.replace(
+                    tspec_for(n_samples, rb),
+                    group=default_group(n_samples, rb),
+                )
                 return fused_train_apply(
-                    spec,
-                    tspec_for(n_samples, default_rays_block(n_samples)),
-                    pack_params(spec, params[level]),
-                    x,
-                    target,
+                    spec, tspec, pack_params(spec, params[level]),
+                    rays_o, rays_d, viewdirs, z, deltas, noise, target,
                 )
         else:  # "feats": hash/CP features + SH dirs + small MLP
             from nerf_meets_mlx_tpu.kernels.fused_feat_train import (
