@@ -105,13 +105,16 @@ def max_fused_samples() -> int:
     return 256
 
 
-def default_rays_block(n_samples: int, target_points: int = 1024) -> int:
+def default_rays_block(n_samples: int, target_points: int = 2048) -> int:
     """Rays per sub-block: multiple of 8 (sublane alignment for the
     ray-major IO), sized so rays_block * n_samples ≈ target_points.
 
     The sub-block must keep all `depth` layer activations plus the dW
     accumulators in VMEM (the wrapper raises the compiler's scoped-VMEM cap
-    when the estimate needs it)."""
+    when the estimate needs it). Swept on v5e (r5): 2048-point sub-blocks
+    beat 1024 at the coarse level (9.1 -> 8.5 ms; halves the dW-epilogue
+    count); the fine level floors at RB=8 (1536 points) — RB=16 measured
+    slower (24.9 vs 24.0 ms, VMEM pressure)."""
     if n_samples > max_fused_samples():
         raise ValueError(
             f"n_samples={n_samples} exceeds the fused-train kernel's VMEM "
@@ -123,9 +126,11 @@ def default_rays_block(n_samples: int, target_points: int = 1024) -> int:
 
 
 def default_group(
-    n_samples: int, rays_block: int, target_points: int = 8192
+    n_samples: int, rays_block: int, target_points: int = 16384
 ) -> int:
-    """Sub-blocks per grid step: ~8192 points each."""
+    """Sub-blocks per grid step: ~16384 points each (swept r5: coarse G=8
+    at RB=32 and fine G=10 at RB=8 measured best; the curve is flat past
+    G=4 so the exact target is uncritical)."""
     return max(1, target_points // (rays_block * n_samples))
 
 
