@@ -1,0 +1,471 @@
+"""Fully-fused Instant-NGP train kernel: in-kernel point construction →
+hash-grid encode (levels in body, tables VMEM-resident) → small MLP →
+ray-major volume compositing → MSE cotangent → full backward (dW AND the
+hash-table scatter-add dG), in ONE Pallas launch per level.
+
+Why (r5, VERDICT #2 lever (a)): the split pipeline — hash_encode launch →
+XLA concat → fused_feat_train launch → XLA slice → hash_encode backward
+launch — moves every intermediate through HBM in LANE-PADDED layouts: the
+[N, 8] point stream, [N, L*F] features, [N, C] packed inputs, and [N, C]
+dfeats each occupy 128 lanes physically (16–43× inflation), ~1.5 GB of
+padded traffic per level at the lego_ingp fine batch. The r4 ablation
+blamed "per-grid-step pipeline overhead"; the r5 dispatch-corrected
+measurements (see kernels/fused_train.py v3 docstring) showed it is DMA of
+padded tiles. Here NOTHING intermediate leaves VMEM:
+
+* Inputs are per-ray and dense (the v3 scheme): rw [R, 16] (origin,
+  direction), sh [R, D] per-ray spherical harmonics, z/deltas/noise [R, S],
+  target [R, 3]. Points are rebuilt in-kernel (pts = o + z·d) via skinny
+  selector GEMMs.
+* The packed hash tables g [L, T/128, F·128] ride as a grid-invariant
+  input (~1 MB for the lego_ingp spec) and the dG accumulator as a
+  grid-invariant output — the one-hot-GEMM radix lookup and its transposed
+  scatter-add (kernels/hash_encode.py) run per level INSIDE the body, on
+  VMEM-resident features.
+* Compositing is ray-major on [RB, S] tiles with the [S, S] strictly-upper
+  scan matrix (fused_train v3); outputs are dense rgb_map [R, 3] and
+  weights [R, S].
+* Corner hashes (hi/lo/weight, [8n, 1] each) are stashed per level between
+  the forward and backward loops; the [8n, HI] one-hot masks — the VPU
+  cost center — are rebuilt in the backward (stashing all L of them would
+  need ~50 MB).
+
+Semantics: encode bit-matches encoding/hash_grid.py (the fixed
+transcription of the reference's broken WIP MultiHashEncoding,
+/root/reference/mlx_nerf/encoding/multi_hash.py:61-131); MLP/compositing
+match kernels/fused_feat_train.py. Parity gated in
+tests/test_fused_ingp_train.py against the jnp twin.
+
+Gradient contract (same as fused_train_apply): only `sse` is
+differentiable — through the packed MLP params AND the packed tables;
+rgb_map/weights come back stop-gradient.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_meets_mlx_tpu.kernels.fused_feat_train import (
+    FeatMLPSpec,
+    _feat_backprop,
+    _feat_forward,
+    _n_feat_arrays,
+    pack_feat_inputs,
+)
+from nerf_meets_mlx_tpu.kernels.fused_mlp import _interpret
+from nerf_meets_mlx_tpu.kernels.fused_train import (
+    TrainSpec,
+    _alpha_terms,
+    pack_ray_inputs,
+    selector_mats,
+)
+from nerf_meets_mlx_tpu.kernels.hash_encode import (
+    LANE,
+    HashEncodeSpec,
+    _level_coords,
+    _plane_indicator,
+    _stacked_corners,
+    pack_tables,
+)
+
+
+def unpack_tables(spec: HashEncodeSpec, g: jnp.ndarray) -> jnp.ndarray:
+    """[L, T/128, F*128] -> [L, T, F] (inverse of pack_tables)."""
+    L = spec.n_levels
+    F = spec.features_per_level
+    t = g.reshape(L, spec.hi, F, LANE)
+    t = jnp.transpose(t, (0, 1, 3, 2))  # [L, HI, 128, F]
+    return t.reshape(L, spec.table_size, F)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _ingp_train_kernel(
+    fspec: FeatMLPSpec, hspec: HashEncodeSpec, tspec: TrainSpec,
+    rw_ref, sh_ref, z_ref, delta_ref, noise_ref, target_ref,
+    u_ref, e_ref, a_ref, g_ref, *refs,
+):
+    n_w = _n_feat_arrays(fspec)
+    w_refs = refs[:n_w]
+    rgb_ref, wts_ref, sse_ref, dg_ref = (
+        refs[n_w], refs[n_w + 1], refs[n_w + 2], refs[n_w + 3]
+    )
+    dw_refs = refs[n_w + 4:]
+    ws = [r[:] for r in w_refs]
+    RB, S, G = tspec.rays_block, tspec.n_samples, tspec.group
+    RBS = RB * S
+    n8 = 8 * RBS
+    F = hspec.features_per_level
+    L = hspec.n_levels
+    f32 = jnp.float32
+    cdt = jnp.bfloat16 if hspec.compute_dtype == "bfloat16" else f32
+    U, E, A = u_ref[:], e_ref[:], a_ref[:]
+    pid = pl.program_id(0)
+
+    def mmf(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32)
+
+    def mmTf(a, b):  # a.T @ b (contract dim 0)
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    def mmbTf(a, b):  # a @ b.T (contract dim 1)
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+
+    def to_pm(v_rm):  # [RB, S] -> [RBS, 1]
+        return jnp.sum(mmTf(U, v_rm) * E, axis=1, keepdims=True)
+
+    def to_rm(v_pm):  # [RBS, 1] -> [RB, S]
+        return mmf(U, v_pm * E)
+
+    def body(a_ref_s, r_ref_s, ds_ref_s):
+        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, hspec.hi), 1)
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, LANE), 1)
+        P_ind = _plane_indicator(F, cdt)                       # [F*128, F]
+        plane_of = jax.lax.broadcasted_iota(jnp.int32, (F, F * LANE), 1) // LANE
+        f_row = jax.lax.broadcasted_iota(jnp.int32, (F, F * LANE), 0)
+        PT_ind = (plane_of == f_row).astype(cdt)               # [F, F*128]
+
+        def sub_block(j, carry):
+            rw = rw_ref[pl.ds(j * RB, RB), :]          # [RB, 16]
+            shb = sh_ref[pl.ds(j * RB, RB), :]         # [RB, D]
+            zb = z_ref[pl.ds(j * RB, RB), :]           # [RB, S]
+            db = delta_ref[pl.ds(j * RB, RB), :]
+            nb = noise_ref[pl.ds(j * RB, RB), :]
+            tb = target_ref[pl.ds(j * RB, RB), :]      # [RB, 3]
+
+            # in-kernel point construction (v3)
+            pm16 = mmTf(U, rw)                         # [RBS, 16]
+            z_pm = to_pm(zb)
+            pts = pm16[:, 0:3] + z_pm * pm16[:, 3:6]   # [RBS, 3]
+            Dn = mmTf(U, shb)                          # [RBS, D]
+
+            # normalize to the unit cube (hash_encode._axes on values)
+            inv = 1.0 / (hspec.bbox_max - hspec.bbox_min)
+            ux = jnp.clip((pts[:, 0:1] - hspec.bbox_min) * inv, 0.0, 1.0)
+            uy = jnp.clip((pts[:, 1:2] - hspec.bbox_min) * inv, 0.0, 1.0)
+            uz = jnp.clip((pts[:, 2:3] - hspec.bbox_min) * inv, 0.0, 1.0)
+
+            # ---- hash encode, levels in body (one-hot GEMM radix) ----
+            corners = []                # stashed [8n,1] hi/lo/w per level
+            feat_cols = []
+            for l in range(L):
+                ix, iy, iz, fx, fy, fz = _level_coords(hspec, ux, uy, uz, l)
+                hi_all, lo_all, w_all = _stacked_corners(
+                    hspec, ix, iy, iz, fx, fy, fz
+                )
+                corners.append((hi_all, lo_all, w_all))
+                a_ref_s[:] = (hi_iota == hi_all).astype(cdt) * w_all.astype(cdt)
+                r_ref_s[:] = jnp.dot(
+                    a_ref_s[:], g_ref[l].astype(cdt),
+                    preferred_element_type=f32,
+                ).astype(cdt)
+                sel = (lo_iota == lo_all).astype(cdt)
+                selF = jnp.concatenate([sel] * F, axis=1)
+                v = jnp.dot(
+                    r_ref_s[:] * selF, P_ind, preferred_element_type=f32
+                )
+                feat_cols.append(jnp.sum(v.reshape(8, RBS, F), axis=0))
+            P_feat = jnp.concatenate(feat_cols, axis=1)        # [RBS, L*F]
+
+            # ---- MLP forward ----
+            out8, alpha8, residuals = _feat_forward(
+                fspec, P_feat, Dn, ws, want_residuals=True
+            )
+            raw_rgb = out8[:, 0:3]                             # [RBS, 3]
+
+            # ---- ray-major compositing (fused_train v3) ----
+            sig_rm = to_rm(alpha8[:, 0:1]) + nb                # [RB, S]
+            q, alpha, dalpha_dq, dq_to_draw = _alpha_terms(tspec, sig_rm, db)
+            Texc = jnp.exp(-mmf(q, A))
+            w_rm = alpha * Texc
+            c = (
+                jax.nn.sigmoid(raw_rgb)
+                if tspec.mode == "canonical" else raw_rgb
+            )
+            w_pm = to_pm(w_rm)
+            rgb_map = mmf(U, w_pm * c)                         # [RB, 3]
+            if tspec.white_bkgd:
+                acc = jnp.sum(w_rm, axis=1, keepdims=True)
+                rgb_map = rgb_map + (1.0 - acc)
+
+            wts_ref[pl.ds(j * RB, RB), :] = w_rm
+            rgb_ref[pl.ds(j * RB, RB), :] = rgb_map
+
+            # ---- loss (masked) ----
+            ridx = (
+                jax.lax.broadcasted_iota(jnp.int32, (RB, 1), 0)
+                + (pid * G + j) * RB
+            )
+            valid = (ridx < tspec.n_rays).astype(f32)
+            resid = (rgb_map - tb) * valid
+            sse_blk = jnp.sum(resid * resid, axis=(0, 1), keepdims=True)
+
+            first = jnp.logical_and(pid == 0, j == 0)
+
+            @pl.when(first)
+            def _():
+                sse_ref[:] = sse_blk
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                sse_ref[:] = sse_ref[:] + sse_blk
+
+            # ---- backward ----
+            g2 = 2.0 * resid
+            g_pt = mmTf(U, g2)                                 # [RBS, 3]
+            dc = w_pm * g_pt
+            dwght_pm = jnp.sum(c * g_pt, axis=1, keepdims=True)
+            if tspec.white_bkgd:
+                gsum = jnp.sum(g2, axis=1, keepdims=True)
+                dwght_pm = dwght_pm - mmTf(U, gsum)
+            dw_rm = to_rm(dwght_pm)
+            dq_rm = dw_rm * Texc * dalpha_dq - mmbTf(dw_rm * w_rm, A)
+            draw_sigma = to_pm(dq_rm * dq_to_draw)             # [RBS, 1]
+            draw_rgb = (
+                dc * c * (1.0 - c) if tspec.mode == "canonical" else dc
+            )
+
+            grads, dP = _feat_backprop(
+                fspec, ws, P_feat, Dn, residuals, draw_rgb, draw_sigma
+            )
+
+            # ---- hash-table scatter-add (transposed one-hot GEMM) ----
+            for l in range(L):
+                hi_all, lo_all, w_all = corners[l]
+                a_ref_s[:] = (hi_iota == hi_all).astype(cdt) * w_all.astype(cdt)
+                sel = (lo_iota == lo_all).astype(cdt)
+                selF = jnp.concatenate([sel] * F, axis=1)
+                d8 = jnp.concatenate([dP[:, l * F : (l + 1) * F]] * 8, axis=0)
+                d8F = jnp.dot(
+                    d8.astype(cdt), PT_ind, preferred_element_type=f32
+                ).astype(cdt)
+                ds_ref_s[:] = selF * d8F
+                dg_l = jax.lax.dot_general(
+                    a_ref_s[:], ds_ref_s[:], (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )  # [HI, F*128]
+
+                @pl.when(first)
+                def _(l=l, dg_l=dg_l):
+                    dg_ref[l] = dg_l
+
+                @pl.when(jnp.logical_not(first))
+                def _(l=l, dg_l=dg_l):
+                    dg_ref[l] = dg_ref[l] + dg_l
+
+            # ---- MLP weight grads ----
+            for k, r in enumerate(dw_refs):
+                gk = grads[k]
+
+                @pl.when(first)
+                def _(r=r, gk=gk):
+                    r[:] = gk
+
+                @pl.when(jnp.logical_not(first))
+                def _(r=r, gk=gk):
+                    r[:] = r[:] + gk
+
+            return carry
+
+        jax.lax.fori_loop(0, G, sub_block, 0, unroll=False)
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((n8, hspec.hi), cdt),
+        pltpu.VMEM((n8, F * LANE), cdt),
+        pltpu.VMEM((n8, F * LANE), cdt),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrapper + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _ingp_train_pallas(
+    fspec: FeatMLPSpec,
+    hspec: HashEncodeSpec,
+    tspec: TrainSpec,
+    packed: List[jnp.ndarray],   # MLP params (pack_feat_params)
+    g: jnp.ndarray,              # [L, T/128, F*128] packed tables
+    rays_o, rays_d, sh, z_vals, deltas, noise, target,
+):
+    RB, S, G = tspec.rays_block, tspec.n_samples, tspec.group
+    RBS = RB * S
+    R = target.shape[0]
+    D = sh.shape[1]
+    assert z_vals.shape == (R, S), (z_vals.shape, R, S)
+    R_pad = -(-R // (RB * G)) * (RB * G)
+    pad = ((0, R_pad - R), (0, 0))
+    # viewdirs not needed in-kernel (SH precomputed per ray) — reuse the
+    # v3 rw row layout with the viewdir slot zeroed
+    rw = jnp.pad(
+        pack_ray_inputs(rays_o, rays_d, jnp.zeros_like(rays_d)), pad
+    )
+    shp = jnp.pad(sh, pad)
+    zp = jnp.pad(z_vals, pad)
+    dp = jnp.pad(deltas, pad)
+    np_ = jnp.pad(noise, pad)
+    tp = jnp.pad(target, pad)
+    grid = (R_pad // (RB * G),)
+    U, E, A = (jnp.asarray(m) for m in selector_mats(tspec))
+
+    F = hspec.features_per_level
+    b = 2 if hspec.compute_dtype == "bfloat16" else 4
+    n8 = 8 * RBS
+    est = (
+        b * n8 * (hspec.hi + 2 * F * LANE)        # a/r/ds scratch
+        + 8 * hspec.n_levels * hspec.hi * F * LANE  # tables + dG (f32)
+        + 4 * (RBS * S + S * S + RB * RBS)          # E, A, U
+        + 4 * 6 * RBS * fspec.width                 # MLP activations (x2 slack)
+        + 4 * G * RB * (16 + D + 4 * S + 6)
+        + 2 * 4 * sum(int(np.prod(w.shape)) for w in packed)
+    )
+    # flat maximum: Mosaic stack-allocates the unrolled per-level
+    # temporaries of the combined encode+MLP+composite+backward body well
+    # beyond any live-set estimate (measured 65-106 MB at 768-1024-point
+    # sub-blocks); the naive estimate only guards the gate below
+    del est
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=110 * 1024 * 1024
+    )
+
+    def const(m):
+        nd = len(m.shape)
+        return pl.BlockSpec(
+            m.shape, (lambda i: (0,) * nd), memory_space=pltpu.VMEM
+        )
+
+    def blk(cols):
+        return pl.BlockSpec(
+            (G * RB, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    w_specs = [const(w) for w in packed]
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed]
+    dw_specs = [const(w) for w in packed]
+    outs = pl.pallas_call(
+        functools.partial(_ingp_train_kernel, fspec, hspec, tspec),
+        grid=grid,
+        in_specs=[
+            blk(16), blk(D), blk(S), blk(S), blk(S), blk(3),
+            const(U), const(E), const(A), const(g),
+            *w_specs,
+        ],
+        out_specs=[
+            blk(3),
+            blk(S),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            const(g),
+            *dw_specs,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((R_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct(g.shape, jnp.float32),
+            *dw_shapes,
+        ],
+        compiler_params=compiler_params,
+        interpret=_interpret(),
+    )(rw, shp, zp, dp, np_, tp, U, E, A, g, *packed)
+    return (
+        outs[0][:R], outs[1][:R], outs[2][0, 0], outs[3], list(outs[4:])
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _ingp_train_core(
+    fspec, hspec, tspec, packed, g,
+    rays_o, rays_d, sh, z_vals, deltas, noise, target,
+):
+    rgb, wts, sse, _, _ = _ingp_train_pallas(
+        fspec, hspec, tspec, packed, g,
+        rays_o, rays_d, sh, z_vals, deltas, noise, target,
+    )
+    return sse, rgb, wts
+
+
+def _vjp_fwd(fspec, hspec, tspec, packed, g,
+             rays_o, rays_d, sh, z_vals, deltas, noise, target):
+    rgb, wts, sse, dg, dws = _ingp_train_pallas(
+        fspec, hspec, tspec, packed, g,
+        rays_o, rays_d, sh, z_vals, deltas, noise, target,
+    )
+    shapes = tuple(
+        a.shape for a in
+        (rays_o, rays_d, sh, z_vals, deltas, noise, target)
+    )
+    return (sse, rgb, wts), (dg, dws, shapes)
+
+
+def _vjp_bwd(fspec, hspec, tspec, res, cots):
+    dg, dws, shapes = res
+    dsse, _drgb, _dwts = cots
+    dpacked = [dsse * gr for gr in dws]
+    return (dpacked, dsse * dg) + tuple(
+        jnp.zeros(s, jnp.float32) for s in shapes
+    )
+
+
+_ingp_train_core.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_ingp_train_apply(
+    fspec: FeatMLPSpec,
+    hspec: HashEncodeSpec,
+    tspec: TrainSpec,
+    packed: List[jnp.ndarray],
+    g: jnp.ndarray,
+    rays_o, rays_d, sh, z_vals, deltas, noise, target,
+):
+    """One-launch INGP train op: (sse, rgb_map [R,3], weights [R,S]).
+
+    Differentiable through sse w.r.t. `packed` (MLP params) and `g` (the
+    packed hash tables — chain through pack_tables to reach the canonical
+    [L, T, F] leaf). rgb_map/weights are stop-gradient by construction."""
+    sse, rgb, wts = _ingp_train_core(
+        fspec, hspec, tspec, packed, g,
+        rays_o, rays_d, sh, z_vals, deltas, noise, target,
+    )
+    return sse, jax.lax.stop_gradient(rgb), jax.lax.stop_gradient(wts)
+
+
+# ---------------------------------------------------------------------------
+# Pure-jnp twin (differentiable; parity tests + CPU fallback semantics)
+# ---------------------------------------------------------------------------
+
+
+def fused_ingp_train_reference(
+    fspec: FeatMLPSpec,
+    hspec: HashEncodeSpec,
+    tspec: TrainSpec,
+    packed: List[jnp.ndarray],
+    g: jnp.ndarray,
+    enc,                         # HashGridEncoding (jnp semantics source)
+    rays_o, rays_d, sh, z_vals, deltas, noise, target,
+):
+    """Same math in plain jnp: gather-based hash encode + feat-MLP twin."""
+    from nerf_meets_mlx_tpu.kernels.fused_feat_train import (
+        fused_feat_train_reference,
+    )
+
+    pts = rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]
+    tables = unpack_tables(hspec, g)
+    feats = enc.apply({"tables": tables}, pts)     # [R, S, L*F]
+    x = pack_feat_inputs(feats, sh, deltas, noise)
+    return fused_feat_train_reference(fspec, tspec, packed, x, target)

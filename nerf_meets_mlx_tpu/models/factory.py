@@ -323,9 +323,14 @@ class NeRFModel:
 
         * "sinusoidal" — kernels/fused_train.py (encode+MLP+composite+loss
           grad+backward; D=8/W=256-class sinusoidal presets);
+        * "ingp" — kernels/fused_ingp_train.py (hash-grid presets whose
+          packed tables fit VMEM: in-kernel points + hash encode + small
+          MLP + compositing + backward incl. the table scatter-add, ONE
+          launch per level — nothing intermediate touches HBM);
         * "feats" — kernels/fused_feat_train.py (small MLP over precomputed
           hash/CP features + SH dirs, emitting dL/dfeats for the encoding's
-          own backward);
+          own backward; the CP-grid path, and hash configs too big for
+          VMEM-resident tables);
         * None — unfused XLA path.
         """
         cfg = self.cfg
@@ -353,6 +358,15 @@ class NeRFModel:
             and fine_mlp.use_viewdirs
             and n_total <= 2048
         ):
+            if cfg.pos_encoding.kind == "hash_grid" and n_total <= 256:
+                from nerf_meets_mlx_tpu.kernels.hash_encode import (
+                    HashEncodeSpec,
+                )
+
+                # fully-fused path needs the packed tables VMEM-resident
+                # and the v3 rays_block>=8 sample bound
+                if HashEncodeSpec.from_encoding(self.pos_enc).vmem_ok:
+                    return "ingp"
             return "feats"
         return None
 
@@ -459,6 +473,54 @@ class NeRFModel:
                 return fused_train_apply(
                     spec, tspec, pack_params(spec, params[level]),
                     rays_o, rays_d, viewdirs, z, deltas, noise, target,
+                )
+        elif mode == "ingp":
+            # fully-fused: points + hash encode + MLP + compositing +
+            # backward (dW and the table scatter-add dG) in one launch per
+            # level; tables ride VMEM-resident (kernels/fused_ingp_train.py)
+            import dataclasses as _dc
+
+            from nerf_meets_mlx_tpu.kernels.fused_feat_train import (
+                FeatMLPSpec,
+                pack_feat_params,
+            )
+            from nerf_meets_mlx_tpu.kernels.fused_ingp_train import (
+                fused_ingp_train_apply,
+            )
+            from nerf_meets_mlx_tpu.kernels.fused_train import (
+                default_group,
+                default_rays_block,
+            )
+            from nerf_meets_mlx_tpu.kernels.hash_encode import (
+                HashEncodeSpec,
+                pack_tables,
+            )
+
+            sh = self.dir_enc.apply(params["dir_enc"], viewdirs)  # [B, d_dim]
+            hspec = HashEncodeSpec.from_encoding(self.pos_enc)
+            g = pack_tables(hspec, params["pos_enc"]["tables"])
+
+            def run_level(level, z, k_noise, n_samples):
+                mlp_cfg = self.cfg.mlp if level == "coarse" else (
+                    self.cfg.mlp_fine or self.cfg.mlp
+                )
+                fspec = FeatMLPSpec.from_configs(
+                    mlp_cfg, self.pos_enc.out_dim, self.dir_enc.out_dim
+                )
+                deltas, noise = deltas_noise(z, k_noise)
+                # 512-point sub-blocks: the [8n, HI]/[8n, F*128] one-hot
+                # scratch + Mosaic's stack allocation of the unrolled
+                # per-level temporaries OOM scoped VMEM at 1024-point
+                # blocks (measured r5: 65-106 MB stack demand)
+                rb = default_rays_block(n_samples, target_points=512)
+                tspec = _dc.replace(
+                    tspec_for(n_samples, rb),
+                    group=default_group(n_samples, rb, target_points=8192),
+                )
+                return fused_ingp_train_apply(
+                    fspec, hspec, tspec,
+                    pack_feat_params(fspec, params[level]), g,
+                    rays_o, rays_d, sh, z, deltas, noise, target,
                 )
         else:  # "feats": hash/CP features + SH dirs + small MLP
             from nerf_meets_mlx_tpu.kernels.fused_feat_train import (

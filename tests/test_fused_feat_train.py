@@ -133,9 +133,13 @@ def _tiny_preset(preset_fn):
         render=dataclasses.replace(cfg.render, n_samples=8, n_importance=8),
     )
     if cfg.pos_encoding.kind == "hash_grid":
+        # log2_table_size=18 keeps hi > 1024 so vmem_ok is False and the
+        # config routes to the "feats" mode this file tests (r5: small
+        # VMEM-resident hash configs route to the fully-fused "ingp" mode,
+        # tests/test_fused_ingp_train.py)
         cfg = cfg.replace(
             pos_encoding=dataclasses.replace(
-                cfg.pos_encoding, hash_n_levels=2, hash_log2_table_size=9,
+                cfg.pos_encoding, hash_n_levels=2, hash_log2_table_size=18,
                 hash_max_res=32,
             )
         )

@@ -125,6 +125,18 @@ def main():
     for iters in ([150, 300] if quick else [1500, 5000, 20000]):
         run_one(f"curve@{iters}", "lego_hierarchical", iters, 64, curve_dir)
 
+    # r5 (VERDICT #5): converge the fast-field presets — 20k-iter legs at
+    # 128^2, resume-chained (5k leg doubles as the mid-curve point),
+    # tracking the train/test gap the README quality table quotes
+    for tag, preset in [
+        ("cp20k", "lego_cp"),
+        ("ingp20k", "lego_ingp"),
+        ("ingp_occ20k", "lego_ingp_occ"),
+    ]:
+        d = OUT / tag
+        for iters in ([150, 300] if quick else [5000, 20000]):
+            run_one(f"{tag}@{iters}", preset, iters, res, d)
+
     print("[battery] done", flush=True)
 
 
