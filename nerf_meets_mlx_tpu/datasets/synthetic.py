@@ -268,6 +268,7 @@ def write_blender_dataset(
     n_test: int = 2,
     resolution: int = 32,
     seed: int = 0,
+    scene: str = "blobs",
 ) -> Path:
     """Write the analytic scene as an on-disk Blender dataset
     (transforms_*.json + RGBA PNGs) for exercising the file loader."""
@@ -284,7 +285,7 @@ def write_blender_dataset(
         poses = _split_poses(n, seed + si)
         frames = []
         for i, pose in enumerate(poses):
-            rgba = render_gt_image(H, W, K, pose[:3, :4])
+            rgba = render_gt_image(H, W, K, pose[:3, :4], scene=scene)
             png = (np.clip(rgba, 0, 1) * 255).astype(np.uint8)
             rel = f"./{split}/r_{i}"
             imageio.imwrite(out_dir / f"{rel}.png", png)

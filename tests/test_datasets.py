@@ -183,3 +183,20 @@ def test_load_blender_half_res_filter_option(tmp_path):
     ds_lz = load_blender_data(d, half_res=True, half_res_filter="lanczos")
     assert ds_area.images.shape == ds_lz.images.shape
     assert not np.allclose(ds_area.images, ds_lz.images)
+
+
+def test_real_lego_smoke_pipeline(tmp_path):
+    """tools_dev/real_lego_smoke.py: the full --data-dir pipeline (on-disk
+    Blender tree -> production loader -> lego_full preset train -> eval ->
+    checkpoint) works end-to-end, so a real nerf_synthetic/lego drop is a
+    one-command config-4 launch (VERDICT r4 #8)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools_dev"))
+    from real_lego_smoke import run_smoke
+
+    row = run_smoke(res=24, iters=4, work_dir=str(tmp_path))
+    assert row["ok"]
+    assert row["ckpt_steps"] >= 1
+    assert np.isfinite(row["test_psnr_mean"])

@@ -36,6 +36,13 @@ def main():
     res = arg("--res", 800)
     slice_iters = arg("--slice", 25_000)
     views = arg("--views", 50)
+    # real dataset passthrough: the day nerf_synthetic/lego exists on disk,
+    #   python tools_dev/config4_long_run.py --data-dir .../lego
+    # runs the same chained 200k recipe on it (smoke-tested end-to-end by
+    # tools_dev/real_lego_smoke.py on an on-disk Blender tree)
+    data_dir = None
+    if "--data-dir" in sys.argv:
+        data_dir = sys.argv[sys.argv.index("--data-dir") + 1]
 
     from nerf_meets_mlx_tpu.entrypoints.train_nerf import train_nerf
 
@@ -53,14 +60,20 @@ def main():
     while done < total:
         done = min(done + slice_iters, total)
         t0 = time.time()
+        kw = (
+            dict(data_dir=data_dir)
+            if data_dir
+            else dict(
+                synth_resolution=res, synth_scene="hard",
+                config_txt=str(cfgf),
+            )
+        )
         m = train_nerf(
             preset="lego_full",
             max_iters=done,
             log_dir=str(OUT / "run"),
             render_video=(done >= total),  # orbit video only at the end
-            synth_resolution=res,
-            synth_scene="hard",
-            config_txt=str(cfgf),
+            **kw,
         )
         row = {
             "through_iters": done,
