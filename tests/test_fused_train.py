@@ -212,3 +212,40 @@ def test_fused_train_gate():
         create_nerf(lego_ingp().replace(use_fused_kernel=True))._fused_train_mode
         == "feats"
     )
+
+
+def test_default_blocks_alignment_and_bounds():
+    """v3 invariants: rays_block is always a multiple of 8, group >= 1,
+    and the sample bound routes big-S configs to the unfused path."""
+    import pytest as _pytest
+
+    from nerf_meets_mlx_tpu.kernels.fused_train import (
+        default_group,
+        default_rays_block,
+        max_fused_samples,
+    )
+
+    for s in (8, 16, 32, 48, 64, 96, 128, 192, 256):
+        rb = default_rays_block(s)
+        assert rb % 8 == 0 and rb >= 8
+        assert default_group(s, rb) >= 1
+    assert default_rays_block(192) == 8   # fine level floors at 8
+    assert default_rays_block(64) == 32   # coarse level: 2048-pt sub-blocks
+    with _pytest.raises(ValueError):
+        default_rays_block(max_fused_samples() + 1)
+
+
+def test_ingp_mode_routing_real_preset():
+    """The real lego_ingp preset (T=2^14, L=8, F=2) routes to the
+    fully-fused 'ingp' mode; the big-table variant falls back to 'feats'."""
+    import dataclasses as _dc
+
+    from nerf_meets_mlx_tpu.config import lego_ingp
+    from nerf_meets_mlx_tpu.models import create_nerf
+
+    cfg = lego_ingp().replace(use_fused_kernel=True, use_fused_train=True)
+    assert create_nerf(cfg)._fused_train_mode == "ingp"
+    big = cfg.replace(
+        pos_encoding=_dc.replace(cfg.pos_encoding, hash_log2_table_size=19)
+    )
+    assert create_nerf(big)._fused_train_mode == "feats"
