@@ -206,11 +206,12 @@ def test_fused_train_gate():
     assert not create_nerf(cfg.replace(use_fused_kernel=False)).supports_fused_train
     from nerf_meets_mlx_tpu.config import lego_ingp
 
-    # hash+SH presets now route to the feat-train kernel
-    # (kernels/fused_feat_train.py)
+    # VMEM-resident hash+SH presets route to the fully-fused ingp kernel
+    # (r5, kernels/fused_ingp_train.py); big-table hash and CP configs to
+    # the feat-train kernel — covered in test_fused_ingp_train.py
     assert (
         create_nerf(lego_ingp().replace(use_fused_kernel=True))._fused_train_mode
-        == "feats"
+        == "ingp"
     )
 
 
