@@ -351,14 +351,14 @@ class NeRFModel:
                 return "sinusoidal"
             return None
         if (
-            cfg.pos_encoding.kind in ("hash_grid", "cp_grid")
+            cfg.pos_encoding.kind == "hash_grid"
             and cfg.dir_encoding is not None
             and cfg.dir_encoding.kind == "spherical_harmonics"
             and cfg.mlp.use_viewdirs
             and fine_mlp.use_viewdirs
             and n_total <= 2048
         ):
-            if cfg.pos_encoding.kind == "hash_grid" and n_total <= 256:
+            if n_total <= 256:
                 from nerf_meets_mlx_tpu.kernels.hash_encode import (
                     HashEncodeSpec,
                 )
@@ -368,6 +368,13 @@ class NeRFModel:
                 if HashEncodeSpec.from_encoding(self.pos_enc).vmem_ok:
                     return "ingp"
             return "feats"
+        # cp_grid: measured NEGATIVE (r5) — the feat-train kernel ran
+        # lego_cp at 123k rays/s vs 312k on the plain XLA path. The CP
+        # encode is one big well-fused XLA GEMM pipeline; forcing its
+        # features through the kernel's custom-call boundary adds ~600 MB
+        # of lane-padded [N, C] input/dfeats DMA per step and breaks XLA's
+        # fusion around the encode. Hash grids keep the feats route only
+        # because their alternative (the serial gather) is 80x worse.
         return None
 
     @property
