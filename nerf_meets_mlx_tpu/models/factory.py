@@ -515,11 +515,12 @@ class NeRFModel:
                     mlp_cfg, self.pos_enc.out_dim, self.dir_enc.out_dim
                 )
                 deltas, noise = deltas_noise(z, k_noise)
-                # 512-point sub-blocks: the [8n, HI]/[8n, F*128] one-hot
-                # scratch + Mosaic's stack allocation of the unrolled
-                # per-level temporaries OOM scoped VMEM at 1024-point
-                # blocks (measured r5: 65-106 MB stack demand)
-                rb = default_rays_block(n_samples, target_points=512)
+                # ~768-point sub-blocks (the largest that compile under
+                # the flat 110 MB scoped-VMEM cap — Mosaic stack-allocates
+                # the combined body's unrolled per-level temporaries;
+                # RBS=1536 OOMs). Swept r5: coarse 768-pt blocks beat
+                # 384-pt by ~4% (31.7 vs 33.1 ms); fine floors at RB=8.
+                rb = default_rays_block(n_samples, target_points=768)
                 tspec = _dc.replace(
                     tspec_for(n_samples, rb),
                     group=default_group(n_samples, rb, target_points=8192),
