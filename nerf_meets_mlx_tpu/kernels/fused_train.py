@@ -491,6 +491,222 @@ def fused_train_apply(
 
 
 # ---------------------------------------------------------------------------
+# Forward-only eval kernel (dense ray-major IO — the serving/render path)
+# ---------------------------------------------------------------------------
+#
+# Why: render_image/render_orbit (the eval path the battery, periodic
+# renders, and any serving deployment sit on) still ran the v2-style
+# point-major pipeline — pack_inputs builds a [B*S, 8] point stream
+# (8→128 lane padding, 16× physical inflation), fused_apply writes a
+# [B*S, 8] padded output, and XLA recomposites from HBM. The v3 train
+# ablation showed exactly that padded DMA is the dominant non-GEMM cost.
+# Eval needs no noise, no loss, and no backward, so the forward half of the
+# v3 train kernel IS the eval kernel: dense per-ray inputs, points rebuilt
+# in-kernel, ray-major compositing, dense rgb [R, 3] + weights [R, S] out.
+# depth/disp/acc maps are cheap XLA reductions over the dense weights
+# (rendering/volume.py formulas — see factory._maps_from_weights).
+
+
+# eval sub-block sizing: no residual stash or dW accumulators in the live
+# set, so the sweet spot can sit above the train kernel's 2048/16384
+# (swept on the real chip by tools_dev/eval_render_probe.py --sweep)
+EVAL_TARGET_POINTS = 2048
+EVAL_GROUP_POINTS = 16384
+
+
+def eval_block(n_samples: int):
+    """(rays_block, group) for the forward-only eval kernel."""
+    rb = default_rays_block(n_samples, target_points=EVAL_TARGET_POINTS)
+    return rb, default_group(n_samples, rb, target_points=EVAL_GROUP_POINTS)
+
+
+def _eval_kernel(
+    spec: FusedMLPSpec, tspec: TrainSpec, rw_ref, z_ref, delta_ref,
+    u_ref, e_ref, a_ref, *refs,
+):
+    n_w = _n_layer_arrays(spec)
+    w_refs = refs[:n_w]
+    rgb_ref, wts_ref = refs[n_w], refs[n_w + 1]
+    ws = [r[:] for r in w_refs]
+    RB, S, G = tspec.rays_block, tspec.n_samples, tspec.group
+    f32 = jnp.float32
+    U, E, A = u_ref[:], e_ref[:], a_ref[:]
+
+    def mmf(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32)
+
+    def mmTf(a, b):
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    def to_pm(v_rm):
+        return jnp.sum(mmTf(U, v_rm) * E, axis=1, keepdims=True)
+
+    def to_rm(v_pm):
+        return mmf(U, v_pm * E)
+
+    def sub_block(j, carry):
+        rw = rw_ref[pl.ds(j * RB, RB), :]        # [RB, 16]
+        zb = z_ref[pl.ds(j * RB, RB), :]         # [RB, S]
+        db = delta_ref[pl.ds(j * RB, RB), :]     # [RB, S]
+
+        pm16 = mmTf(U, rw)                       # [RBS, 16]
+        z_pm = to_pm(zb)
+        pts = pm16[:, 0:3] + z_pm * pm16[:, 3:6]
+        vd_pm = pm16[:, 6:9]
+
+        cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else f32
+        M, phi = ws[0], ws[1]
+        T = (
+            jnp.dot(pts.astype(cdt), M[0:3].astype(cdt),
+                    preferred_element_type=f32)
+            + jnp.dot(vd_pm.astype(cdt), M[3:6].astype(cdt),
+                      preferred_element_type=f32)
+            + phi
+        )
+        out = _forward_core(spec, None, ws, want_residuals=False, T=T)
+        raw_rgb = out[:, 0:3]
+
+        sig_rm = to_rm(out[:, 3:4])              # eval: raw_noise_std = 0
+        q, alpha, _, _ = _alpha_terms(tspec, sig_rm, db)
+        Texc = jnp.exp(-mmf(q, A))
+        w_rm = alpha * Texc
+        c = jax.nn.sigmoid(raw_rgb) if tspec.mode == "canonical" else raw_rgb
+
+        w_pm = to_pm(w_rm)
+        rgb_map = mmf(U, w_pm * c)
+        if tspec.white_bkgd:
+            acc = jnp.sum(w_rm, axis=1, keepdims=True)
+            rgb_map = rgb_map + (1.0 - acc)
+
+        wts_ref[pl.ds(j * RB, RB), :] = w_rm
+        rgb_ref[pl.ds(j * RB, RB), :] = rgb_map
+        return carry
+
+    jax.lax.fori_loop(0, G, sub_block, 0, unroll=False)
+
+
+def _eval_pallas(
+    spec: FusedMLPSpec,
+    tspec: TrainSpec,
+    packed: List[jnp.ndarray],
+    rays_o: jnp.ndarray,    # [R, 3]
+    rays_d: jnp.ndarray,    # [R, 3]
+    viewdirs: jnp.ndarray,  # [R, 3] normalized
+    z_vals: jnp.ndarray,    # [R, S]
+    deltas: jnp.ndarray,    # [R, S] — pre-scaled by ||rays_d||, 1e10 terminal
+):
+    RB, S, G = tspec.rays_block, tspec.n_samples, tspec.group
+    RBS = RB * S
+    R = rays_o.shape[0]
+    assert z_vals.shape == (R, S), (z_vals.shape, R, S)
+    R_pad = -(-R // (RB * G)) * (RB * G)
+    pad = ((0, R_pad - R), (0, 0))
+    rw = jnp.pad(pack_ray_inputs(rays_o, rays_d, viewdirs), pad)
+    zp = jnp.pad(z_vals, pad)
+    dp = jnp.pad(deltas, pad)
+    grid = (R_pad // (RB * G),)
+    U, E, A = (jnp.asarray(m) for m in selector_mats(tspec))
+
+    # live set: forward activations only (no residual stash, no dW
+    # accumulators) — roughly half the train kernel's estimate
+    n_res = 2 * spec.sw + spec.depth * spec.width + spec.width + spec.w2
+    est = 4 * (
+        RBS * n_res
+        + RBS * S + S * S + RB * RBS
+        + G * RB * (16 + 2 * S + S + 3)
+        + sum(int(np.prod(w.shape)) for w in packed)
+    )
+    compiler_params = None
+    if est > 12 * 1024 * 1024:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                min(max(3 * est + 8 * 1024 * 1024, 24 * 1024 * 1024),
+                    110 * 1024 * 1024)
+            )
+        )
+
+    def const2(m):
+        return pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    def blk(cols):
+        return pl.BlockSpec(
+            (G * RB, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    w_specs = [const2(w) for w in packed]
+    outs = pl.pallas_call(
+        functools.partial(_eval_kernel, spec, tspec),
+        grid=grid,
+        in_specs=[
+            blk(16), blk(S), blk(S),
+            const2(U), const2(E), const2(A),
+            *w_specs,
+        ],
+        out_specs=[blk(3), blk(S)],
+        out_shape=[
+            jax.ShapeDtypeStruct((R_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((R_pad, S), jnp.float32),
+        ],
+        compiler_params=compiler_params,
+        interpret=_interpret(),
+    )(rw, zp, dp, U, E, A, *packed)
+    return outs[0][:R], outs[1][:R]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_eval_core(
+    spec: FusedMLPSpec, tspec: TrainSpec, packed, rays_o, rays_d, viewdirs,
+    z_vals, deltas,
+):
+    return _eval_pallas(
+        spec, tspec, packed, rays_o, rays_d, viewdirs, z_vals, deltas
+    )
+
+
+def _eval_vjp_fwd(spec, tspec, packed, rays_o, rays_d, viewdirs, z_vals,
+                  deltas):
+    out = _eval_pallas(
+        spec, tspec, packed, rays_o, rays_d, viewdirs, z_vals, deltas
+    )
+    shapes = (
+        tuple(w.shape for w in packed),
+        tuple(a.shape for a in (rays_o, rays_d, viewdirs, z_vals, deltas)),
+    )
+    return out, shapes
+
+
+def _eval_vjp_bwd(spec, tspec, res, cots):
+    w_shapes, in_shapes = res
+    return ([jnp.zeros(s, jnp.float32) for s in w_shapes],) + tuple(
+        jnp.zeros(s, jnp.float32) for s in in_shapes
+    )
+
+
+_fused_eval_core.defvjp(_eval_vjp_fwd, _eval_vjp_bwd)
+
+
+def fused_eval_apply(
+    spec: FusedMLPSpec,
+    tspec: TrainSpec,
+    packed: List[jnp.ndarray],
+    rays_o, rays_d, viewdirs, z_vals, deltas,
+):
+    """Forward-only render op: (rgb_map [R, 3], weights [R, S]).
+
+    Not differentiable (the eval/serving path never is). A zero-cotangent
+    custom VJP makes an accidental grad trace produce structural zeros
+    rather than a missing-JVP error from inside the pallas_call — plain
+    stop_gradient on the outputs would not stop linearization of the
+    kernel itself."""
+    rgb, wts = _fused_eval_core(
+        spec, tspec, packed, rays_o, rays_d, viewdirs, z_vals, deltas
+    )
+    return jax.lax.stop_gradient(rgb), jax.lax.stop_gradient(wts)
+
+
+# ---------------------------------------------------------------------------
 # Pure-jnp twin (differentiable; parity tests + CPU fallback semantics)
 # ---------------------------------------------------------------------------
 

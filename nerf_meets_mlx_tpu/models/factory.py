@@ -243,6 +243,17 @@ class NeRFModel:
             rays_o, rays_d, k_jitter, train, occ_grid, occ_active, shard_info
         )
 
+        if not train and self._fused_train_mode == "sinusoidal":
+            # dense eval fast path: forward+composite in one Pallas launch
+            # per level (fused_train._eval_kernel) — the point-major padded
+            # pipeline (pack_inputs → fused_apply → XLA raw2outputs) moved
+            # every intermediate through HBM lane-padded. Eval has no noise
+            # and no gradient, so only rgb + dense weights leave the chip;
+            # depth/disp/acc are XLA reductions (volume.maps_from_weights).
+            return self._render_rays_eval_fused(
+                params, rays_o, rays_d, viewdirs, z_vals, k_imp
+            )
+
         def draw_noise(k, shape):
             if not (train and rcfg.raw_noise_std > 0.0):
                 return None
@@ -311,6 +322,104 @@ class NeRFModel:
                 disp_map=out_f["disp_map"],
                 acc_map=out_f["acc_map"],
                 depth_map=out_f["depth_map"],
+            )
+
+        return ret
+
+    def _render_rays_eval_fused(
+        self,
+        params: Params,
+        rays_o: jnp.ndarray,     # [B, 3]
+        rays_d: jnp.ndarray,     # [B, 3]
+        viewdirs: jnp.ndarray,   # [B, 3] normalized (pre-NDC)
+        z_vals: jnp.ndarray,     # [B, S] coarse depths
+        k_imp: jax.Array,
+    ) -> Dict[str, jnp.ndarray]:
+        """Eval-mode hierarchical render through the forward-only fused
+        kernel (kernels/fused_train._eval_kernel): per level one launch runs
+        point construction + encode + MLP + ray-major compositing with dense
+        IO. Same outputs/keys as the standard eval path; parity gated in
+        tests/test_fused_train.py. The importance stage is deterministic
+        (midpoint inverse-CDF), matching render_rays(train=False)."""
+        from nerf_meets_mlx_tpu.kernels.fused_mlp import (
+            FusedMLPSpec,
+            pack_params,
+        )
+        from nerf_meets_mlx_tpu.kernels.fused_train import (
+            TrainSpec,
+            eval_block,
+            fused_eval_apply,
+        )
+        from nerf_meets_mlx_tpu.rendering.volume import maps_from_weights
+
+        rcfg = self.cfg.render
+        B = rays_o.shape[0]
+        dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+        def deltas_of(z):
+            d = jnp.concatenate(
+                [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1
+            )
+            return d * dnorm
+
+        def run_level(level, z, n_samples):
+            mlp_cfg = self.cfg.mlp if level == "coarse" else (
+                self.cfg.mlp_fine or self.cfg.mlp
+            )
+            mlp_params = params[level] if level in params else params["coarse"]
+            spec = FusedMLPSpec.from_configs(
+                mlp_cfg, self.cfg.pos_encoding, self.cfg.dir_encoding,
+                compute_dx=False,
+            )
+            rb, grp = eval_block(n_samples)
+            tspec = TrainSpec(
+                n_samples=n_samples,
+                rays_block=rb,
+                n_rays=B,
+                mode=rcfg.compositing,
+                density_activation=rcfg.density_activation,
+                white_bkgd=rcfg.white_bkgd,
+                group=grp,
+            )
+            return fused_eval_apply(
+                spec, tspec, pack_params(spec, mlp_params),
+                rays_o, rays_d, viewdirs, z, deltas_of(z),
+            )
+
+        rgb_c, w_c = run_level("coarse", z_vals, rcfg.n_samples)
+        depth_c, acc_c, disp_c = maps_from_weights(w_c, z_vals)
+        ret = {
+            "rgb_coarse": rgb_c,
+            "disp_coarse": disp_c,
+            "acc_coarse": acc_c,
+            "depth_coarse": depth_c,
+            "z_vals": z_vals,
+            "weights": w_c,
+            "rgb_map": rgb_c,
+            "disp_map": disp_c,
+            "acc_map": acc_c,
+            "depth_map": depth_c,
+        }
+
+        if rcfg.n_importance > 0:
+            z_imp = sample_pdf(
+                k_imp, z_vals, w_c, rcfg.n_importance, deterministic=True
+            )
+            z_all = merge_z(z_vals, z_imp)
+            level = "fine" if "fine" in params else "coarse"
+            rgb_f, w_f = run_level(
+                level, z_all, rcfg.n_samples + rcfg.n_importance
+            )
+            depth_f, acc_f, disp_f = maps_from_weights(w_f, z_all)
+            ret.update(
+                rgb_fine=rgb_f,
+                disp_fine=disp_f,
+                acc_fine=acc_f,
+                depth_fine=depth_f,
+                rgb_map=rgb_f,
+                disp_map=disp_f,
+                acc_map=acc_f,
+                depth_map=depth_f,
             )
 
         return ret

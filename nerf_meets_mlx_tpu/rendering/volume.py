@@ -114,3 +114,16 @@ def raw2outputs(
         "acc_map": acc_map,
         "weights": weights,
     }
+
+
+def maps_from_weights(weights: jnp.ndarray, z_vals: jnp.ndarray):
+    """(depth, acc, disp) maps from dense sample weights [B, S] — the same
+    reductions raw2outputs performs (render.py:85-92), split out so the
+    fused eval kernel (which already composited rgb and returns weights
+    dense) can finish the map set in XLA."""
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    acc_map = jnp.sum(weights, axis=-1)
+    disp_map = 1.0 / jnp.maximum(
+        1e-10, depth_map / jnp.maximum(acc_map, 1e-10)
+    )
+    return depth_map, acc_map, disp_map

@@ -250,3 +250,61 @@ def test_ingp_mode_routing_real_preset():
         pos_encoding=_dc.replace(cfg.pos_encoding, hash_log2_table_size=19)
     )
     assert create_nerf(big)._fused_train_mode == "feats"
+
+
+@pytest.mark.parametrize("n_importance", [0, 16])
+def test_eval_fused_matches_standard_path(n_importance):
+    """render_rays(train=False) through the dense eval kernel
+    (_eval_kernel, forward+composite one launch per level) matches the
+    standard query+raw2outputs eval path on every map, including the
+    deterministic importance stage riding the kernel's weights."""
+    cfg = lego_hierarchical()
+    cfg = cfg.replace(
+        render=dataclasses.replace(
+            cfg.render, n_samples=16, n_importance=n_importance
+        ),
+        use_fused_kernel=True,
+        use_fused_train=True,
+    )
+    model = create_nerf(cfg)
+    assert model._fused_train_mode == "sinusoidal"
+    params = model.init(jax.random.PRNGKey(0))
+    B = 37  # not a block multiple: exercises the pad/slice
+    ro = jax.random.normal(jax.random.PRNGKey(2), (B, 3)) * 0.1
+    rd = jax.random.normal(jax.random.PRNGKey(3), (B, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True) * 1.3
+
+    out_fused = model.render_rays(params, ro, rd, train=False)
+    std = create_nerf(cfg.replace(use_fused_kernel=False, use_fused_train=False))
+    out_std = std.render_rays(params, ro, rd, train=False)
+
+    assert set(out_fused) == set(out_std)
+    for k in out_std:
+        np.testing.assert_allclose(
+            out_fused[k], out_std[k], rtol=2e-4, atol=2e-5, err_msg=k
+        )
+
+
+def test_eval_fused_is_grad_safe():
+    """The eval op is stop-gradient by construction: differentiating a
+    scalar of its outputs w.r.t. params yields structural zeros, not a
+    missing-VJP error from inside Pallas."""
+    cfg = lego_hierarchical()
+    cfg = cfg.replace(
+        render=dataclasses.replace(cfg.render, n_samples=16, n_importance=0),
+        use_fused_kernel=True,
+        use_fused_train=True,
+    )
+    model = create_nerf(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    ro = jnp.zeros((8, 3))
+    rd = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (8, 1))
+
+    def f(p):
+        return jnp.sum(model.render_rays(p, ro, rd, train=False)["rgb_map"])
+
+    grads = jax.grad(f)(params)
+    assert all(
+        float(jnp.max(jnp.abs(g))) == 0.0
+        for g in jax.tree_util.tree_leaves(grads)
+    )
