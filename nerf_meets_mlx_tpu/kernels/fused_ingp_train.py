@@ -292,6 +292,234 @@ def _ingp_train_kernel(
 
 
 # ---------------------------------------------------------------------------
+# Forward-only eval kernel (hash presets' serving/render path)
+# ---------------------------------------------------------------------------
+#
+# Same rationale as fused_train._eval_kernel: eval needs no noise, loss, or
+# backward, so the forward half of the fused INGP kernel — points + hash
+# encode (tables VMEM-resident) + small MLP + ray-major composite — is the
+# eval op, with dense per-ray IO. Replaces the split eval pipeline
+# (hash_encode launch per level → XLA MLP → raw2outputs) whose
+# intermediates all move through HBM lane-padded.
+
+
+def _ingp_eval_kernel(
+    fspec: FeatMLPSpec, hspec: HashEncodeSpec, tspec: TrainSpec,
+    rw_ref, sh_ref, z_ref, delta_ref,
+    u_ref, e_ref, a_ref, g_ref, *refs,
+):
+    n_w = _n_feat_arrays(fspec)
+    w_refs = refs[:n_w]
+    rgb_ref, wts_ref = refs[n_w], refs[n_w + 1]
+    ws = [r[:] for r in w_refs]
+    RB, S, G = tspec.rays_block, tspec.n_samples, tspec.group
+    RBS = RB * S
+    n8 = 8 * RBS
+    F = hspec.features_per_level
+    L = hspec.n_levels
+    f32 = jnp.float32
+    cdt = jnp.bfloat16 if hspec.compute_dtype == "bfloat16" else f32
+    U, E, A = u_ref[:], e_ref[:], a_ref[:]
+
+    def mmf(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32)
+
+    def mmTf(a, b):
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    def to_pm(v_rm):
+        return jnp.sum(mmTf(U, v_rm) * E, axis=1, keepdims=True)
+
+    def to_rm(v_pm):
+        return mmf(U, v_pm * E)
+
+    def body(a_ref_s, r_ref_s):
+        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, hspec.hi), 1)
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (n8, LANE), 1)
+        P_ind = _plane_indicator(F, cdt)                       # [F*128, F]
+
+        def sub_block(j, carry):
+            rw = rw_ref[pl.ds(j * RB, RB), :]          # [RB, 16]
+            shb = sh_ref[pl.ds(j * RB, RB), :]         # [RB, D]
+            zb = z_ref[pl.ds(j * RB, RB), :]           # [RB, S]
+            db = delta_ref[pl.ds(j * RB, RB), :]
+
+            pm16 = mmTf(U, rw)                         # [RBS, 16]
+            z_pm = to_pm(zb)
+            pts = pm16[:, 0:3] + z_pm * pm16[:, 3:6]   # [RBS, 3]
+            Dn = mmTf(U, shb)                          # [RBS, D]
+
+            inv = 1.0 / (hspec.bbox_max - hspec.bbox_min)
+            ux = jnp.clip((pts[:, 0:1] - hspec.bbox_min) * inv, 0.0, 1.0)
+            uy = jnp.clip((pts[:, 1:2] - hspec.bbox_min) * inv, 0.0, 1.0)
+            uz = jnp.clip((pts[:, 2:3] - hspec.bbox_min) * inv, 0.0, 1.0)
+
+            feat_cols = []
+            for l in range(L):
+                ix, iy, iz, fx, fy, fz = _level_coords(hspec, ux, uy, uz, l)
+                hi_all, lo_all, w_all = _stacked_corners(
+                    hspec, ix, iy, iz, fx, fy, fz
+                )
+                a_ref_s[:] = (hi_iota == hi_all).astype(cdt) * w_all.astype(cdt)
+                r_ref_s[:] = jnp.dot(
+                    a_ref_s[:], g_ref[l].astype(cdt),
+                    preferred_element_type=f32,
+                ).astype(cdt)
+                sel = (lo_iota == lo_all).astype(cdt)
+                selF = jnp.concatenate([sel] * F, axis=1)
+                v = jnp.dot(
+                    r_ref_s[:] * selF, P_ind, preferred_element_type=f32
+                )
+                feat_cols.append(jnp.sum(v.reshape(8, RBS, F), axis=0))
+            P_feat = jnp.concatenate(feat_cols, axis=1)        # [RBS, L*F]
+
+            out8, alpha8 = _feat_forward(
+                fspec, P_feat, Dn, ws, want_residuals=False
+            )
+            raw_rgb = out8[:, 0:3]
+
+            sig_rm = to_rm(alpha8[:, 0:1])             # eval: no noise
+            q, alpha, _, _ = _alpha_terms(tspec, sig_rm, db)
+            Texc = jnp.exp(-mmf(q, A))
+            w_rm = alpha * Texc
+            c = (
+                jax.nn.sigmoid(raw_rgb)
+                if tspec.mode == "canonical" else raw_rgb
+            )
+            w_pm = to_pm(w_rm)
+            rgb_map = mmf(U, w_pm * c)                 # [RB, 3]
+            if tspec.white_bkgd:
+                acc = jnp.sum(w_rm, axis=1, keepdims=True)
+                rgb_map = rgb_map + (1.0 - acc)
+
+            wts_ref[pl.ds(j * RB, RB), :] = w_rm
+            rgb_ref[pl.ds(j * RB, RB), :] = rgb_map
+            return carry
+
+        jax.lax.fori_loop(0, G, sub_block, 0, unroll=False)
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((n8, hspec.hi), cdt),
+        pltpu.VMEM((n8, F * LANE), cdt),
+    )
+
+
+def _ingp_eval_pallas(
+    fspec: FeatMLPSpec,
+    hspec: HashEncodeSpec,
+    tspec: TrainSpec,
+    packed: List[jnp.ndarray],
+    g: jnp.ndarray,
+    rays_o, rays_d, sh, z_vals, deltas,
+):
+    RB, S, G = tspec.rays_block, tspec.n_samples, tspec.group
+    R = z_vals.shape[0]
+    D = sh.shape[1]
+    assert z_vals.shape == (R, S), (z_vals.shape, R, S)
+    R_pad = -(-R // (RB * G)) * (RB * G)
+    pad = ((0, R_pad - R), (0, 0))
+    rw = jnp.pad(
+        pack_ray_inputs(rays_o, rays_d, jnp.zeros_like(rays_d)), pad
+    )
+    shp = jnp.pad(sh, pad)
+    zp = jnp.pad(z_vals, pad)
+    dp = jnp.pad(deltas, pad)
+    grid = (R_pad // (RB * G),)
+    U, E, A = (jnp.asarray(m) for m in selector_mats(tspec))
+
+    # same flat cap as the train kernel: Mosaic stack-allocates the unrolled
+    # per-level encode temporaries well beyond any live-set estimate
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=110 * 1024 * 1024
+    )
+
+    def const(m):
+        nd = len(m.shape)
+        return pl.BlockSpec(
+            m.shape, (lambda i: (0,) * nd), memory_space=pltpu.VMEM
+        )
+
+    def blk(cols):
+        return pl.BlockSpec(
+            (G * RB, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    w_specs = [const(w) for w in packed]
+    outs = pl.pallas_call(
+        functools.partial(_ingp_eval_kernel, fspec, hspec, tspec),
+        grid=grid,
+        in_specs=[
+            blk(16), blk(D), blk(S), blk(S),
+            const(U), const(E), const(A), const(g),
+            *w_specs,
+        ],
+        out_specs=[blk(3), blk(S)],
+        out_shape=[
+            jax.ShapeDtypeStruct((R_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((R_pad, S), jnp.float32),
+        ],
+        compiler_params=compiler_params,
+        interpret=_interpret(),
+    )(rw, shp, zp, dp, U, E, A, g, *packed)
+    return outs[0][:R], outs[1][:R]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _ingp_eval_core(
+    fspec, hspec, tspec, packed, g, rays_o, rays_d, sh, z_vals, deltas,
+):
+    return _ingp_eval_pallas(
+        fspec, hspec, tspec, packed, g, rays_o, rays_d, sh, z_vals, deltas
+    )
+
+
+def _ingp_eval_vjp_fwd(fspec, hspec, tspec, packed, g, rays_o, rays_d, sh,
+                       z_vals, deltas):
+    out = _ingp_eval_pallas(
+        fspec, hspec, tspec, packed, g, rays_o, rays_d, sh, z_vals, deltas
+    )
+    shapes = (
+        tuple(w.shape for w in packed),
+        g.shape,
+        tuple(a.shape for a in (rays_o, rays_d, sh, z_vals, deltas)),
+    )
+    return out, shapes
+
+
+def _ingp_eval_vjp_bwd(fspec, hspec, tspec, res, cots):
+    w_shapes, g_shape, in_shapes = res
+    return (
+        [jnp.zeros(s, jnp.float32) for s in w_shapes],
+        jnp.zeros(g_shape, jnp.float32),
+    ) + tuple(jnp.zeros(s, jnp.float32) for s in in_shapes)
+
+
+_ingp_eval_core.defvjp(_ingp_eval_vjp_fwd, _ingp_eval_vjp_bwd)
+
+
+def fused_ingp_eval_apply(
+    fspec: FeatMLPSpec,
+    hspec: HashEncodeSpec,
+    tspec: TrainSpec,
+    packed: List[jnp.ndarray],
+    g: jnp.ndarray,
+    rays_o, rays_d, sh, z_vals, deltas,
+):
+    """Forward-only INGP render op: (rgb_map [R, 3], weights [R, S]).
+
+    Not differentiable (zero-cotangent custom VJP — see
+    fused_train.fused_eval_apply for why stop_gradient alone is not
+    enough)."""
+    rgb, wts = _ingp_eval_core(
+        fspec, hspec, tspec, packed, g, rays_o, rays_d, sh, z_vals, deltas
+    )
+    return jax.lax.stop_gradient(rgb), jax.lax.stop_gradient(wts)
+
+
+# ---------------------------------------------------------------------------
 # Host-side wrapper + custom VJP
 # ---------------------------------------------------------------------------
 

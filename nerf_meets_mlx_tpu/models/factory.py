@@ -243,10 +243,11 @@ class NeRFModel:
             rays_o, rays_d, k_jitter, train, occ_grid, occ_active, shard_info
         )
 
-        if not train and self._fused_train_mode == "sinusoidal":
+        if not train and self._fused_train_mode in ("sinusoidal", "ingp"):
             # dense eval fast path: forward+composite in one Pallas launch
-            # per level (fused_train._eval_kernel) — the point-major padded
-            # pipeline (pack_inputs → fused_apply → XLA raw2outputs) moved
+            # per level (fused_train._eval_kernel / the forward-only INGP
+            # kernel) — the point-major padded pipeline (pack_inputs →
+            # fused_apply → XLA raw2outputs, or hash_encode → XLA MLP) moved
             # every intermediate through HBM lane-padded. Eval has no noise
             # and no gradient, so only rgb + dense weights leave the chip;
             # depth/disp/acc are XLA reductions (volume.maps_from_weights).
@@ -362,17 +363,8 @@ class NeRFModel:
             )
             return d * dnorm
 
-        def run_level(level, z, n_samples):
-            mlp_cfg = self.cfg.mlp if level == "coarse" else (
-                self.cfg.mlp_fine or self.cfg.mlp
-            )
-            mlp_params = params[level] if level in params else params["coarse"]
-            spec = FusedMLPSpec.from_configs(
-                mlp_cfg, self.cfg.pos_encoding, self.cfg.dir_encoding,
-                compute_dx=False,
-            )
-            rb, grp = eval_block(n_samples)
-            tspec = TrainSpec(
+        def tspec_of(n_samples, rb, grp):
+            return TrainSpec(
                 n_samples=n_samples,
                 rays_block=rb,
                 n_rays=B,
@@ -381,10 +373,67 @@ class NeRFModel:
                 white_bkgd=rcfg.white_bkgd,
                 group=grp,
             )
-            return fused_eval_apply(
-                spec, tspec, pack_params(spec, mlp_params),
-                rays_o, rays_d, viewdirs, z, deltas_of(z),
+
+        if self._fused_train_mode == "ingp":
+            from nerf_meets_mlx_tpu.kernels.fused_feat_train import (
+                FeatMLPSpec,
+                pack_feat_params,
             )
+            from nerf_meets_mlx_tpu.kernels.fused_ingp_train import (
+                fused_ingp_eval_apply,
+            )
+            from nerf_meets_mlx_tpu.kernels.fused_train import (
+                default_group,
+                default_rays_block,
+            )
+            from nerf_meets_mlx_tpu.kernels.hash_encode import (
+                HashEncodeSpec,
+                pack_tables,
+            )
+
+            sh = self.dir_enc.apply(params["dir_enc"], viewdirs)
+            hspec = HashEncodeSpec.from_encoding(self.pos_enc)
+            g = pack_tables(hspec, params["pos_enc"]["tables"])
+
+            def run_level(level, z, n_samples):
+                mlp_cfg = self.cfg.mlp if level == "coarse" else (
+                    self.cfg.mlp_fine or self.cfg.mlp
+                )
+                mlp_params = (
+                    params[level] if level in params else params["coarse"]
+                )
+                fspec = FeatMLPSpec.from_configs(
+                    mlp_cfg, self.pos_enc.out_dim, self.dir_enc.out_dim
+                )
+                # same known-safe sub-block shape as the train kernel (the
+                # Mosaic stack cap binds the unrolled encode body, which the
+                # eval kernel shares)
+                rb = default_rays_block(n_samples, target_points=768)
+                grp = default_group(n_samples, rb, target_points=8192)
+                return fused_ingp_eval_apply(
+                    fspec, hspec, tspec_of(n_samples, rb, grp),
+                    pack_feat_params(fspec, mlp_params), g,
+                    rays_o, rays_d, sh, z, deltas_of(z),
+                )
+        else:
+
+            def run_level(level, z, n_samples):
+                mlp_cfg = self.cfg.mlp if level == "coarse" else (
+                    self.cfg.mlp_fine or self.cfg.mlp
+                )
+                mlp_params = (
+                    params[level] if level in params else params["coarse"]
+                )
+                spec = FusedMLPSpec.from_configs(
+                    mlp_cfg, self.cfg.pos_encoding, self.cfg.dir_encoding,
+                    compute_dx=False,
+                )
+                rb, grp = eval_block(n_samples)
+                return fused_eval_apply(
+                    spec, tspec_of(n_samples, rb, grp),
+                    pack_params(spec, mlp_params),
+                    rays_o, rays_d, viewdirs, z, deltas_of(z),
+                )
 
         rgb_c, w_c = run_level("coarse", z_vals, rcfg.n_samples)
         depth_c, acc_c, disp_c = maps_from_weights(w_c, z_vals)

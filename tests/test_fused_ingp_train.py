@@ -188,3 +188,33 @@ def test_train_step_ingp_fused_vs_unfused():
     s0, a0 = one_step(False, 8)
     np.testing.assert_allclose(a1["loss_coarse"], a0["loss_coarse"], rtol=5e-4)
     assert np.isfinite(a1["loss_fine"]) and np.isfinite(a0["loss_fine"])
+
+
+def test_eval_fused_ingp_matches_standard_path():
+    """render_rays(train=False) for the VMEM-resident hash preset routes
+    through the forward-only INGP kernel (points + hash encode + MLP +
+    composite, one launch per level) and matches the standard
+    hash_encode + XLA-MLP + raw2outputs eval path on every map."""
+    from nerf_meets_mlx_tpu.models import create_nerf
+
+    cfg = lego_ingp().replace(use_fused_kernel=True, use_fused_train=True)
+    cfg = cfg.replace(
+        render=dataclasses.replace(cfg.render, n_samples=16, n_importance=16)
+    )
+    model = create_nerf(cfg)
+    assert model._fused_train_mode == "ingp"
+    params = model.init(jax.random.PRNGKey(0))
+    B = 21  # not a block multiple: exercises the pad/slice
+    ro = jax.random.normal(jax.random.PRNGKey(2), (B, 3)) * 0.1
+    rd = jax.random.normal(jax.random.PRNGKey(3), (B, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True) * 1.3
+
+    out_fused = model.render_rays(params, ro, rd, train=False)
+    std = create_nerf(cfg.replace(use_fused_kernel=False, use_fused_train=False))
+    out_std = std.render_rays(params, ro, rd, train=False)
+
+    assert set(out_fused) == set(out_std)
+    for k in out_std:
+        np.testing.assert_allclose(
+            out_fused[k], out_std[k], rtol=2e-4, atol=2e-5, err_msg=k
+        )

@@ -133,8 +133,9 @@ def main():
         "backend": jax.default_backend(),
     }
     print(json.dumps(res))
+    suffix = "" if args.preset == "lego_hierarchical" else f"_{args.preset}"
     out_path = pathlib.Path(__file__).resolve().parent.parent / (
-        "docs/results/eval_render_probe.json"
+        f"docs/results/eval_render_probe{suffix}.json"
     )
     out_path.write_text(json.dumps(res, indent=1) + "\n")
 
