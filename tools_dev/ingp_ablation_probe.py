@@ -147,6 +147,44 @@ def make_stage_kernel(fspec, hspec, tspec, stage):
                 uy = jnp.clip((pts[:, 1:2] - hspec.bbox_min) * inv, 0.0, 1.0)
                 uz = jnp.clip((pts[:, 2:3] - hspec.bbox_min) * inv, 0.0, 1.0)
 
+                if stage in ("coords", "masks", "gemm1"):
+                    # in-encode sub-stages (r5 late): localize the
+                    # analytic-vs-measured residual inside the per-level
+                    # block. All consumed values go through full jnp.sum
+                    # reductions (the r4 DCE'd-probe lesson).
+                    acc = jnp.zeros((1, 1), f32)
+                    for l in range(L):
+                        ix, iy, iz, fx, fy, fz = _level_coords(
+                            hspec, ux, uy, uz, l
+                        )
+                        hi_all, lo_all, w_all = _stacked_corners(
+                            hspec, ix, iy, iz, fx, fy, fz
+                        )
+                        acc = acc + (
+                            jnp.sum(lo_all.astype(f32))
+                        ).reshape(1, 1) * 1e-30
+                        if stage == "coords":
+                            acc = acc + (
+                                jnp.sum(hi_all.astype(f32)) + jnp.sum(w_all)
+                            ).reshape(1, 1) * 1e-30
+                            continue
+                        a_ref_s[:] = (
+                            (hi_iota == hi_all).astype(cdt)
+                            * w_all.astype(cdt)
+                        )
+                        if stage == "masks":
+                            acc = acc + a_ref_s[0:1, 0:1].astype(f32) * 1e-30
+                            continue
+                        r_ref_s[:] = jnp.dot(
+                            a_ref_s[:], g_ref[l].astype(cdt),
+                            preferred_element_type=f32,
+                        ).astype(cdt)
+                        acc = acc + r_ref_s[0:1, 0:1].astype(f32) * 1e-30
+                    wts_ref[pl.ds(j * RB, RB), :] = jnp.zeros((RB, S), f32)
+                    rgb_ref[pl.ds(j * RB, RB), :] = jnp.zeros((RB, 3), f32)
+                    put_sse(acc, first)
+                    return carry
+
                 feat_cols = []
                 for l in range(L):
                     ix, iy, iz, fx, fy, fz = _level_coords(hspec, ux, uy, uz, l)
@@ -363,7 +401,8 @@ def main():
         print(f"[{lname}] S={S} RB={rb} G={tspec.group} "
               f"RBS={rb*S}", flush=True)
         prev = 0.0
-        for stage in ("io_only", "encode", "encode_mlp", "full_nodg", "full"):
+        for stage in ("io_only", "coords", "masks", "gemm1", "encode",
+                      "encode_mlp", "full_nodg", "full"):
             f = functools.partial(
                 run_stage, fspec, hspec, tspec, g=g, args=args, stage=stage
             )
